@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one named query per implemented operator from SURVEY.md §2
+  * (plus the beyond-reference training-data operators); `oracleSql` holds the
+  * DuckDB twin for every SQL-expressible query. Column names and ordering are
+  * aligned pairwise — the driver sorts columns by name and hash-compares.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q07MultiJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver rows-only check. */
+  def oracleSql: Map[String, String] =
+    Relational.oracle
+
+  /** Headline subset used by Bench (fast, scale-representative). */
+  def headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_join_agg", "q07_multi_join",
+    "q10_argmax_window", "q13_hindex", "q19_running_sum",
+    "q21_cosupply_pairs", "q25_tumbling_window", "q27_sessionize")
 }

@@ -1,0 +1,555 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Relational operator battery over the synthetic star schema.
+  *
+  * One named query per operator class from SURVEY.md §2 (scans, filters,
+  * joins incl. semi/anti/theta-argmax, aggregations incl. h-index/median/
+  * mode, windows, top-k, set ops, scalar functions, JSON access, graph-ish
+  * self-joins). Each query has a DuckDB oracle in [[Relational.oracle]] with
+  * IDENTICAL output column names and a total ORDER BY so the driver's
+  * sort+hash compare is deterministic.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension joins (region/nation/supplier/part at <=20k rows even at
+  *    sf0.1) are explicitly `broadcast()` — no shuffle of the fact table;
+  *  - fact-fact joins (orders x lineitem, customer x orders) shuffle on the
+  *    join key once and reuse it for the downstream groupBy where possible;
+  *  - aggregations are plain groupBy → Catalyst does partial (map-side)
+  *    aggregation automatically;
+  *  - global windows/sorts appear only where semantics require a total
+  *    ranking (q11, q15); q15 uses driver-side count + limit (Spark plans
+  *    TakeOrderedAndProject — a distributed top-k, not a single-partition
+  *    sort).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TS = "yyyy-MM-dd HH:mm:ss"
+
+  /** TPC-H Q1-style pricing summary: scan + filter + groupBy agg (A1-A3).
+    * Filter + 7-column projection reach the parquet scan via pushdown. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 3).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Projection + conjunctive predicates (P1, F1-F4): pushed filters. */
+  def q02FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "A" && col("l_discount") > 0.05 &&
+        col("l_shipdate").isNotNull && col("l_linestatus") =!= "X")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Inner equi-join chain fact→dim (J1): orders ⋈ customer ⋈ nation.
+    * nation (25·sf rows) broadcast; customer side shuffles once on custkey. */
+  def q03JoinAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("n_name")
+  }
+
+  /** Left outer join preserving unmatched left rows (J2): count(o_orderkey)
+    * skips nulls, so order-less customers show 0. */
+  def q04LeftJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count("o_orderkey").as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-semi join = EXISTS (F5): customers having at least one finished
+    * order. Semi join shuffles only the key column of the right side. */
+  def q05SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join = NOT EXISTS (F6): customers with no orders at all. */
+  def q06AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** TPC-H Q5-style multi-way join (J4): region ⋈ nation ⋈ customer ⋈
+    * orders ⋈ lineitem, revenue per region. All dims broadcast; the only
+    * shuffles are lineitem⋈orders on orderkey and the final small agg. */
+  def q07MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name")
+  }
+
+  /** Distinct projection (R2/F7): dropDuplicates == SELECT DISTINCT. */
+  def q08Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select("c_mktsegment", "c_nationkey")
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** Deterministic dedup (F7): keep the smallest orderkey per (part,supp)
+    * pair — groupBy-min instead of pandas' order-dependent keep-first. */
+  def q09Dedup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("l_orderkey").as("first_orderkey"), count(lit(1)).as("n_lines"))
+      .orderBy("l_partkey", "l_suppkey")
+
+  /** Per-group argmax via window rank (J5 rewrite): each customer's
+    * highest-value order(s), ties kept — exactly the reference's
+    * theta-self-join + IS NULL idiom, as a single shuffle + window. */
+  def q10ArgmaxWindow(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    o.withColumn("rk", rank().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Global ranking with pandas-parity average-rank (A7):
+    * rank_avg = trunc(min_rank + (ties-1)/2), the semantics of
+    * pandas .rank(method='average').astype(int) used by the reference.
+    * A global window is inherently single-ordered; at 100 TB this becomes a
+    * 2-pass sort-based rank — acceptable for a dimension-sized table only. */
+  def q11RankGlobal(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val w = Window.orderBy(col("c_acctbal").desc)
+    val ties = Window.partitionBy("c_acctbal")
+    c.select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("rank_min", rank().over(w))
+      .withColumn("rank_avg",
+        floor(col("rank_min") + (count(lit(1)).over(ties) - lit(1)) / lit(2.0)).cast("int"))
+      .orderBy("c_custkey")
+  }
+
+  /** Exact interpolating median (A4) — numpy/np.median parity needs exact
+    * percentile (mean of middle two), not percentile_approx. */
+  def q12Median(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 3).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 3).as("median_price"))
+      .orderBy("l_returnflag")
+
+  /** h-index (A6) as a pure-builtin window formulation:
+    * h = max(least(citations_desc_rank_value, rank)). Here "citations" of an
+    * order = its lineitem count; h-index per customer. Exactly the
+    * reference's binary-search-over-sorted-desc semantics. */
+  def q13HIndex(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d).select("l_orderkey")
+    val cites = li.groupBy("l_orderkey").agg(count(lit(1)).as("n_cites"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("n_cites").desc, col("o_orderkey"))
+    cites.withColumn("rn", row_number().over(w))
+      .groupBy("o_custkey")
+      .agg(max(least(col("n_cites"), col("rn"))).cast("int").as("hindex"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  /** Mode with Postgres-parity deterministic tie-break (A8): most frequent
+    * mktsegment per nation, ties broken by segment name ascending —
+    * count-groupBy + argmax window, NOT Spark's arbitrary-tie mode(). */
+  def q14Mode(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val counts = c.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("cnt").desc, col("c_mktsegment"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"), col("cnt").as("mode_count"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Computed-percent LIMIT top-k (A9/O3): top 1% customers by balance.
+    * k is computed driver-side (one cheap count) and fed to limit() so the
+    * plan is TakeOrderedAndProject — per-partition top-k then merge, no
+    * global sort, no single-partition window. */
+  def q15TopPercent(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val k = math.round(0.01 * c.count()).toInt
+    c.select("c_custkey", "c_acctbal")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Explode (R1): word frequency over part names. */
+  def q16Explode(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("word")
+
+  /** Scalar-function projection (C2-C10): regexp_replace, trim, case,
+    * substring, concat, length, cast — all codegen'd builtins. */
+  def q17ScalarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_name")).as("name_len"),
+        concat(substring(col("c_name"), 1, 3), lit("_"), col("c_custkey").cast("string")).as("name_code"),
+        trim(regexp_replace(col("c_name"), "[0-9]", "")).as("name_clean"),
+        round(col("c_acctbal"), 0).cast("long").as("bal_rounded"))
+      .orderBy("c_custkey")
+
+  /** Date-part extraction + agg (C12): orders per year. */
+  def q18YearAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("order_year")
+
+  /** Running total window frame (§2.5 extension): cumulative spend per
+    * customer over order history; deterministic total order within groups. */
+  def q19RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** JSON field access (C13): extract props.k from the events JSON blob. */
+  def q20Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Graph 2-hop self-join (J7/G3): supplier pairs co-supplying a part.
+    * Dedup to distinct (part,supplier) first so the join fans out on the
+    * small distinct set; s1<s2 halves the pair space. */
+  def q21CoSupply(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+    val a = ps.select(col("l_partkey"), col("l_suppkey").as("s1"))
+    val b = ps.select(col("l_partkey"), col("l_suppkey").as("s2"))
+    a.join(b, Seq("l_partkey"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("shared_parts"))
+      .filter(col("shared_parts") >= 2)
+      .orderBy("s1", "s2")
+  }
+
+  /** Sorted collect_list (A11) rendered as a deterministic string. */
+  def q22Collect(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("o_orderstatus")))).as("statuses"),
+        count(lit(1)).as("n_orders"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+      .orderBy("c_custkey")
+
+  /** Set op (R-ext): UNION (dedup) of two key projections. */
+  def q23Union(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).filter(col("c_acctbal") < 0).select(col("c_custkey").as("k"))
+    val b = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    a.union(b).distinct().orderBy("k")
+  }
+
+  /** Integer-division + percent formatting (A2/C11 hard parts): share of
+    * negative-balance customers per nation as 'NN%' with truncating
+    * integer division, the reference's TO_CHAR(x*100/y,'fm99%') semantics. */
+  def q24IntDiv(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(
+        sum(when(col("c_acctbal") < 0, 1).otherwise(0)).as("n_neg"),
+        count(lit(1)).as("n_total"))
+      .select(
+        col("c_nationkey"),
+        col("n_neg").cast("long").as("n_neg"),
+        col("n_total"),
+        concat(floor(col("n_neg") * lit(100.0) / col("n_total")).cast("int").cast("string"),
+          lit("%")).as("neg_pct"))
+      .orderBy("c_nationkey")
+
+  /** Tumbling time window (§2.10 batch analog): hourly event rollup via
+    * window() — the same operator Structured Streaming uses. */
+  def q25Tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), TS).as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Sliding time window: 2h windows sliding by 1h — each event lands in 2
+    * windows; window() handles the fan-out natively. */
+  def q26Sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 3).as("avg_value"))
+      .select(date_format(col("w.start"), TS).as("window_start"), col("n"), col("avg_value"))
+      .orderBy("window_start")
+
+  /** Sessionization (§2.10 / mapGroupsWithState batch analog): 30-minute
+    * inactivity gap splits sessions; lag + cumulative-flag windows. The
+    * streaming twin lives in graft.streaming.EventSessions. */
+  def q27Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        date_format(min("ts"), TS).as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_agg" -> (q03JoinAgg _),
+    "q04_left_join" -> (q04LeftJoin _),
+    "q05_semi_join" -> (q05SemiJoin _),
+    "q06_anti_join" -> (q06AntiJoin _),
+    "q07_multi_join" -> (q07MultiJoin _),
+    "q08_distinct" -> (q08Distinct _),
+    "q09_dedup_keys" -> (q09Dedup _),
+    "q10_argmax_window" -> (q10ArgmaxWindow _),
+    "q11_rank_global" -> (q11RankGlobal _),
+    "q12_median" -> (q12Median _),
+    "q13_hindex" -> (q13HIndex _),
+    "q14_mode" -> (q14Mode _),
+    "q15_top_percent" -> (q15TopPercent _),
+    "q16_explode_words" -> (q16Explode _),
+    "q17_scalar_funcs" -> (q17ScalarFuncs _),
+    "q18_year_agg" -> (q18YearAgg _),
+    "q19_running_sum" -> (q19RunningSum _),
+    "q20_json_extract" -> (q20Json _),
+    "q21_cosupply_pairs" -> (q21CoSupply _),
+    "q22_collect_sorted" -> (q22Collect _),
+    "q23_union_distinct" -> (q23Union _),
+    "q24_intdiv_pct" -> (q24IntDiv _),
+    "q25_tumbling_window" -> (q25Tumbling _),
+    "q26_sliding_window" -> (q26Sliding _),
+    "q27_sessionize" -> (q27Sessionize _),
+  )
+
+  /** DuckDB twins. Same column names, same ORDER BY, same rounding. */
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity),2) AS sum_qty,
+        |round(sum(l_extendedprice),2) AS sum_base_price,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |round(avg(l_quantity),3) AS avg_qty,
+        |round(avg(l_discount),4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'A' AND l_discount > 0.05
+        |  AND l_shipdate IS NOT NULL AND l_linestatus <> 'X'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q04_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_multi_join" ->
+      """SELECT r_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        |count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q08_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q09_dedup_keys" ->
+      """SELECT l_partkey, l_suppkey, min(l_orderkey) AS first_orderkey,
+        |count(*) AS n_lines
+        |FROM lineitem GROUP BY l_partkey, l_suppkey ORDER BY l_partkey, l_suppkey""".stripMargin,
+    "q10_argmax_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+        |  FROM orders) t
+        |WHERE rk = 1 ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q11_rank_global" ->
+      """SELECT c_custkey, c_acctbal,
+        |  rank() OVER (ORDER BY c_acctbal DESC) AS rank_min,
+        |  CAST(floor((rank() OVER (ORDER BY c_acctbal DESC))
+        |       + (count(*) OVER (PARTITION BY c_acctbal) - 1)/2.0) AS INT) AS rank_avg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q12_median" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.5),3) AS median_qty,
+        |round(quantile_cont(l_extendedprice, 0.5),3) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_hindex" ->
+      """WITH cites AS (
+        |  SELECT o_custkey, l_orderkey, count(*) AS n_cites
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey, l_orderkey),
+        |ranked AS (
+        |  SELECT o_custkey, n_cites,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY n_cites DESC, l_orderkey) AS rn
+        |  FROM cites)
+        |SELECT o_custkey AS c_custkey,
+        |       CAST(max(least(n_cites, rn)) AS INT) AS hindex
+        |FROM ranked GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
+    "q14_mode" ->
+      """SELECT c_nationkey, c_mktsegment AS mode_segment, cnt AS mode_count FROM (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS cnt,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY count(*) DESC, c_mktsegment) AS rk
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment) t
+        |WHERE rk = 1 ORDER BY c_nationkey""".stripMargin,
+    "q15_top_percent" ->
+      """SELECT c_custkey, c_acctbal FROM (
+        |  SELECT c_custkey, c_acctbal,
+        |         row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM customer) t
+        |WHERE rn <= round(0.01 * n) ORDER BY c_acctbal DESC, c_custkey""".stripMargin,
+    "q16_explode_words" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "q17_scalar_funcs" ->
+      """SELECT c_custkey,
+        |upper(c_name) AS name_upper,
+        |length(c_name) AS name_len,
+        |concat(substring(c_name, 1, 3), '_', CAST(c_custkey AS VARCHAR)) AS name_code,
+        |trim(regexp_replace(c_name, '[0-9]', '', 'g')) AS name_clean,
+        |CAST(round(c_acctbal, 0) AS BIGINT) AS bal_rounded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q18_year_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, count(*) AS n_orders,
+        |round(sum(o_totalprice),2) AS total_price
+        |FROM orders GROUP BY order_year ORDER BY order_year""".stripMargin,
+    "q19_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q20_json_extract" ->
+      """SELECT event_type,
+        |CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |count(*) AS n,
+        |CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q21_cosupply_pairs" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS shared_parts
+        |FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        |GROUP BY s1, s2 HAVING count(*) >= 2 ORDER BY s1, s2""".stripMargin,
+    "q22_collect_sorted" ->
+      """SELECT o_custkey AS c_custkey,
+        |string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
+    "q23_union_distinct" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+        |UNION SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin,
+    "q24_intdiv_pct" ->
+      """SELECT c_nationkey,
+        |CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |count(*) AS n_total,
+        |concat(CAST(CAST(floor(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) * 100.0
+        |  / count(*)) AS INT) AS VARCHAR), '%') AS neg_pct
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q25_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin,
+    "q26_sliding_window" ->
+      """SELECT strftime(date_trunc('hour', ts) - off * INTERVAL 1 HOUR,
+        |  '%Y-%m-%d %H:%M:%S') AS window_start,
+        |count(*) AS n, round(avg(value),3) AS avg_value
+        |FROM events CROSS JOIN (VALUES (0),(1)) AS t(off)
+        |GROUP BY window_start ORDER BY window_start""".stripMargin,
+    "q27_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events, round(sum(value),2) AS session_value
+        |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+  )
+}
