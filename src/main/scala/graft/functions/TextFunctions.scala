@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the training-data pipeline operators
+  * (language-ID, quality scoring, token counting, shingling, fingerprints).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * whole-stage-codegen'd, no UDFs — so these run at full Tungsten speed at
+  * 100 TB. Shingling uses higher-order functions (transform/slice) which
+  * evaluate per-row without exploding until the caller asks for it.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword split: lowercase letter runs, digit runs, and single
+    * non-space symbols as separate tokens — a regex approximation of
+    * byte-pair pretokenization. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Token n-gram shingles ("w1 w2 w3"). Empty array for short docs. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Stopword hit count for a language profile. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  /** Tiny per-language stopword profiles (public common-word lists). */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it", "on", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "une", "les", "des"),
+    "es" -> Seq("el", "la", "y", "es", "un", "una", "los", "que"))
+
+  /** n-gram-heuristic language ID: argmax of stopword hits, 'und'
+    * (undetermined) when no profile scores >= minHits. Deterministic
+    * tie-break: profile name ascending. */
+  def langId(text: Column, minHits: Int = 2): Column = {
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on struct compares fields in order: hits then lang; to get
+    // tie-break *ascending* on lang we invert: take max of (hits, reversed
+    // rank of lang) — simpler: reduce manually with when().
+    val best = scored.reduce { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") >= minHits, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-score feature columns (length / punct / stopword ratios). */
+  def nTokens(text: Column): Column = size(tokens(text))
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+  def punctRatio(text: Column): Column =
+    round(punctCount(text) / length(text).cast("double"), 4)
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    round(stopwordHits(text, langProfiles(lang)) / nTokens(text).cast("double"), 4)
+
+  /** Exact content fingerprint (md5 of lowercased text) — the hash-groupBy
+    * key for exact dedup; portable across engines. */
+  def contentFingerprint(text: Column): Column = md5(lower(text))
+
+  /** Rolling polynomial fingerprint over tokens (order-sensitive), computed
+    * mod the Mersenne prime 2^31-1 so it never overflows under ANSI mode:
+    * fp = fold(tokens, 0, (acc*31 + (xxhash64(tok) mod M)) mod M).
+    * Engine-specific (xxhash64 seed), so no SQL oracle — unit-tested. */
+  def rollingFingerprint(text: Column): Column = {
+    val m = lit((1L << 31) - 1)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), m), m))
+  }
+}

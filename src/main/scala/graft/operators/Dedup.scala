@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{SimHash, TextFunctions => T, VectorFunctions => V}
+
+/** Document / embedding deduplication operators for the training-data
+  * pipeline: exact (hash-groupBy), n-gram Jaccard (shingle join), MinHash+
+  * LSH (banded signatures), SimHash (Hamming chunks), embedding-cosine.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-partitioned groupBy on a 128-bit fingerprint
+  *    (never on the raw text — shuffling full documents at 100 TB is the
+  *    classic mistake; only the fingerprint + id move);
+  *  - n-gram Jaccard joins on *distinct* shingles and filters hot shingles
+  *    (df > maxDocFreq) — a stopword-shingle appearing in every document
+  *    would otherwise quadratically explode the candidate join;
+  *  - MinHash/LSH replaces the all-pairs comparison with b bucket joins —
+  *    the only formulation that survives 10^9 documents;
+  *  - SimHash pairs use pigeonhole chunking (dist<=k needs one equal chunk
+  *    among k+1) so candidates come from equality joins, not cross joins.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content fingerprint, keep the smallest id. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), T.contentFingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, shingle) pairs with hot-shingle pruning. */
+  private def docShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Long): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(T.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    if (maxDocFreq <= 0) sh
+    else {
+      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq)
+        .select("shingle")
+      sh.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** Pairwise n-gram Jaccard >= threshold among docs sharing >= 1 shingle.
+    * Output: id_a < id_b, n_common, jaccard. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFreq: Long = 0L): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n, maxDocFreq)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("shingle"), col("id").as("id_a"))
+      .join(sh.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("sa")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("sb")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_common") / (col("sa") + col("sb") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  /** MinHash signatures: k independent hashes, min over shingles.
+    * Output: id, sig array<long> of length k. */
+  def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(T.shingles(col(textCol), n)).as("shingle"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    sh.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH candidate pairs: band the k-row signature into `bands`
+    * groups, bucket-join on (band, bandHash), estimate similarity as the
+    * fraction of equal signature components. */
+  def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4, n: Int = 3,
+      minEstimate: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, k, n, idCol, textCol)
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows))
+      }: _*)).as(Seq("band", "band_hash")))
+    val cands = banded.select(col("band"), col("band_hash"),
+        col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(banded.select(col("band"), col("band_hash"),
+        col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+    cands
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v) / lit(k.toDouble), 4))
+      .filter(col("est_jaccard") >= minEstimate)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Per-doc 64-bit SimHash over whitespace tokens. */
+  def simhashDocs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(T.tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .groupBy("id")
+      .agg(SimHash(col("h")).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidates
+    * via (k+1)-chunk pigeonhole equality join, verified with bit_count. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nChunks = maxDist + 1
+    val bitsPer = SimHash.Bits / nChunks // last chunk takes the remainder
+    val sims = simhashDocs(docs, idCol, textCol)
+    val chunks = sims.select(col("id"), col("simhash"),
+      posexplode(array((0 until nChunks).map { c =>
+        val hi = if (c == nChunks - 1) SimHash.Bits else (c + 1) * bitsPer
+        shiftrightunsigned(col("simhash"), c * bitsPer)
+          .bitwiseAND(lit((1L << (hi - c * bitsPer)) - 1))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    chunks.select(col("chunk_idx"), col("chunk"),
+        col("id").as("id_a"), col("simhash").as("sim_a"))
+      .join(chunks.select(col("chunk_idx"), col("chunk"),
+        col("id").as("id_b"), col("simhash").as("sim_b")), Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding near-dup: cosine >= threshold among pairs blocked by a
+    * coarse key (default: the label column) — swap in an LSH bucket for
+    * unlabeled corpora (see Similarity.lshBuckets). */
+  def embeddingNearDup(embs: DataFrame, threshold: Double = 0.9,
+      blockCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = embs.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val b = embs.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(V.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

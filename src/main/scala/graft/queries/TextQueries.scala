@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication battery over the `documents` table —
+  * the beyond-reference training-data-pipeline operators.
+  *
+  * Thresholds are tuned to the synthetic corpus: it contains a planted
+  * near-duplicate cluster (pairwise trigram Jaccard ≈ 0.97-0.99) over a
+  * background of unrelated docs (p99 ≈ 0.025), so τ=0.5 separates cleanly.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Language-ID (n-gram/stopword heuristic): per-profile hit counts +
+    * argmax with alphabetical tie-break, 'und' below 2 hits. */
+  def q30LangId(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        T.stopwordHits(txt, T.langProfiles("de")).as("hits_de"),
+        T.stopwordHits(txt, T.langProfiles("en")).as("hits_en"),
+        T.stopwordHits(txt, T.langProfiles("es")).as("hits_es"),
+        T.stopwordHits(txt, T.langProfiles("fr")).as("hits_fr"),
+        T.langId(txt).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token count, punctuation count, stopword ratio,
+    * average token length, and a rule-based quality bucket. */
+  def q31Quality(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        T.nTokens(txt).as("n_tokens"),
+        T.punctCount(txt).as("n_punct"),
+        T.stopwordRatio(txt).as("stop_ratio"),
+        round(length(translate(txt, " ", "")) / T.nTokens(txt).cast("double"), 4)
+          .as("avg_token_len"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 30 && col("stop_ratio") >= 0.04, "good")
+          .when(col("n_tokens") >= 15, "fair")
+          .otherwise("poor"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting per source (whitespace tokenization). */
+  def q32TokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(T.nTokens(col("text"))).as("n_tokens"),
+        round(avg(T.nTokens(col("text"))), 3).as("avg_tokens"))
+      .orderBy("source")
+
+  /** Exact dedup by content fingerprint (hash-groupBy). */
+  def q33DedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d))
+      .select("keep_id", "n_copies", "fp")
+      .orderBy("keep_id")
+
+  /** n-gram Jaccard near-dup pairs (shingle join, τ=0.5). */
+  def q34NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, d), n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash+LSH candidate pairs (16 hashes, 4 bands). Engine-specific
+    * hashing → rows-only check, no SQL oracle. */
+  def q35MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, d), k = 16, bands = 4, minEstimate = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (64-bit, Hamming ≤ 5 — planted dups sit at
+    * 0-5, background pairs at 6+ on this corpus). Rows-only check. */
+  def q36Simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), maxDist = 5)
+      .orderBy("id_a", "id_b")
+
+  /** Rolling polynomial fingerprint per doc (order-sensitive). Rows-only. */
+  def q37RollingFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), T.rollingFingerprint(col("text")).as("rolling_fp"))
+      .orderBy("doc_id")
+
+  val all: Map[String, Q] = Map(
+    "q30_lang_id" -> (q30LangId _),
+    "q31_quality_score" -> (q31Quality _),
+    "q32_token_count" -> (q32TokenCount _),
+    "q33_dedup_exact" -> (q33DedupExact _),
+    "q34_ngram_jaccard" -> (q34NgramJaccard _),
+    "q35_minhash_lsh" -> (q35MinhashLsh _),
+    "q36_simhash_pairs" -> (q36Simhash _),
+    "q37_rolling_fingerprint" -> (q37RollingFingerprint _),
+  )
+
+  private def hitsSql(langList: String): String =
+    s"len(list_filter(string_split(text, ' '), x -> x IN ($langList)))"
+  private val de = hitsSql("'der','die','das','und','ist','nicht','ein','zu'")
+  private val en = hitsSql("'the','a','of','and','to','is','in','it','on','for'")
+  private val es = hitsSql("'el','la','y','es','un','una','los','que'")
+  private val fr = hitsSql("'le','la','et','est','un','une','les','des'")
+
+  val oracle: Map[String, String] = Map(
+    "q30_lang_id" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  $de AS hits_de, $en AS hits_en, $es AS hits_es, $fr AS hits_fr
+         |  FROM documents)
+         |SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+         |  CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) < 2 THEN 'und'
+         |       WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+         |       WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+         |       WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q31_quality_score" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |  round($en / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+         |  round(length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_punct, stop_ratio, avg_token_len,
+         |  CASE WHEN n_tokens >= 30 AND stop_ratio >= 0.04 THEN 'good'
+         |       WHEN n_tokens >= 15 THEN 'fair' ELSE 'poor' END AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q32_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |round(avg(len(string_split(text, ' '))), 3) AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q33_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |md5(lower(text)) AS fp
+        |FROM documents GROUP BY fp ORDER BY keep_id""".stripMargin,
+    "q34_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |  FROM docs WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, n_common,
+        |  round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+        |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles produces overlapping n-grams and handles short docs") {
+    val df = Seq("w1 w2 w3 w4", "a b", "solo").toDF("text")
+    val got = df.select(T.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("w1 w2 w3", "w2 w3 w4"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+  }
+
+  test("langId picks argmax profile with alphabetical tie-break, und below 2 hits") {
+    val df = Seq(
+      "the cat sat on the mat and it is warm", // en
+      "der hund ist nicht das problem und so", // de
+      "xyz qqq zzz",                           // und
+    ).toDF("text")
+    val got = df.select(T.langId(col("text"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality features: token/punct counts and ratios") {
+    val df = Seq("the cat, the dog!").toDF("text")
+    val row = df.select(
+      T.nTokens(col("text")).as("nt"),
+      T.punctCount(col("text")).as("np"),
+      T.stopwordRatio(col("text")).as("sr")).head()
+    assert(row.getInt(0) == 4)
+    assert(row.getInt(1) == 2)
+    assert(row.getDouble(2) == 0.5) // "the" twice over 4 tokens
+  }
+
+  test("regexTokens splits words, digits and symbols") {
+    val got = Seq("ab12,cd ef").toDF("text")
+      .select(T.regexTokens(col("text"))).as[Seq[String]].head()
+    assert(got == Seq("ab", "12", ",", "cd", "ef"))
+  }
+
+  test("rolling fingerprint is order-sensitive and stable") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+    val got = df.select(T.rollingFingerprint(col("text"))).as[Long].collect()
+    assert(got(0) == got(2))
+    assert(got(0) != got(1))
+    assert(got.forall(v => v >= 0 && v < (1L << 31)))
+  }
+
+  test("content fingerprint is case-insensitive md5") {
+    val got = Seq(("Hello World", "hello world")).toDF("a", "b")
+      .select(T.contentFingerprint(col("a")) === T.contentFingerprint(col("b")))
+      .as[Boolean].head()
+    assert(got)
+  }
+}

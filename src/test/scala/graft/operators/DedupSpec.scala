@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0/1 exact dups; 2/3 near-dups (1-token edit); 4 unrelated.
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG NEAR THE RIVER BANK TODAY"),
+    (2L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+    (3L, "one two three four five six seven eight nine ten eleven twelve fourteen"),
+    (4L, "completely different content about spark catalyst optimizer and tungsten engine"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case-insensitive identical texts") {
+    val got = Dedup.exact(docs).orderBy("keep_id").collect()
+    assert(got.length == 4)
+    val first = got.head
+    assert(first.getAs[Long]("keep_id") == 0L && first.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and not unrelated docs") {
+    val got = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 3L)))
+  }
+
+  test("ngram jaccard value matches hand computation") {
+    // 11 trigrams each, 10 shared → j = 10 / (11+11-10) = 0.8333
+    val j = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+      .select("jaccard").as[Double].head()
+    assert(j == 0.8333)
+  }
+
+  test("minhash LSH surfaces the high-similarity pair") {
+    val got = Dedup.minhashLsh(docs, k = 16, bands = 4, minEstimate = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((2L, 3L)))
+    assert(!got.contains((0L, 4L)))
+  }
+
+  test("simhash distance 0 for identical token multisets, small for near-dups") {
+    val sims = Dedup.simhashDocs(docs).orderBy("id").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(2L), sims(3L)) <= 10)
+    assert(ham(sims(2L), sims(4L)) > 10)
+  }
+
+  test("simhash pairs candidate+verify returns near-dups only") {
+    val got = Dedup.simhashPairs(docs, maxDist = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((2L, 3L)))
+    assert(!got.contains((2L, 4L)))
+  }
+
+  test("embedding near-dup by cosine with blocking") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f, 0.0f), 1), // same vector, different block
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDup(embs, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L))) // 0-3 blocked apart, 0-2 orthogonal
+  }
+}
