@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity group operators (SURVEY.md §2): the theta-join argmax
+  * idiom, Postgres-tie mode, pandas average-rank, computed-percent top-k,
+  * and the h-index — each as a single-shuffle window/agg formulation.
+  */
+object GroupOps {
+
+  /** All rows attaining the per-group max of `metric` (ties kept) — the
+    * reference's `LEFT JOIN … ON metric < peer WHERE peer IS NULL` idiom
+    * (analytical_queries.ipynb cells 30/33/36) as one window pass instead
+    * of a self-join: one shuffle on the group key, no join blow-up. */
+  def argmaxPerGroup(df: DataFrame, groupCols: Seq[String], metric: Column): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(metric.desc)
+    df.withColumn("__rk", rank().over(w)).filter(col("__rk") === 1).drop("__rk")
+  }
+
+  /** h-index per group: largest h such that the h-th largest value >= h
+    * (reference: binary search over desc-sorted citations,
+    * dags/scripts/augmentations.py:125-148). Window formulation:
+    * h = max(least(value, row_number_desc)) — exact, builtin-only. */
+  def hIndex(df: DataFrame, groupCol: String, valueCol: String,
+      out: String = "hindex"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .groupBy(groupCol)
+      .agg(coalesce(max(least(col(valueCol), col("__rn"))), lit(0)).cast("int").as(out))
+  }
+
+  /** Reference h-index semantics in plain Scala (for property tests). */
+  def hIndexExact(cites: Seq[Int]): Int = {
+    val sorted = cites.sortBy(-_)
+    var h = 0
+    while (h < sorted.length && sorted(h) >= h + 1) h += 1
+    h
+  }
+
+  /** Most frequent value per group with Postgres ordered-set tie-break
+    * (`mode() WITHIN GROUP (ORDER BY v)` returns the smallest tied value,
+    * unlike Spark's arbitrary-tie `mode()`). */
+  def modePostgres(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      out: String = "mode"): DataFrame = {
+    val counts = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__cnt").desc, col(valueCol))
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select((groupCols.map(col) :+ col(valueCol).as(out)): _*)
+  }
+
+  /** pandas `rank(ascending=False, method='average').astype(int)` parity
+    * (reference: dags/scripts/final_tables.py:161-164): min-rank plus half
+    * the tie-group size, truncated. Global window — dimension-scale only. */
+  def pandasAvgRankDesc(df: DataFrame, metric: String, out: String): DataFrame = {
+    val w = Window.orderBy(col(metric).desc)
+    val ties = Window.partitionBy(metric)
+    df.withColumn(out,
+      floor(rank().over(w) + (count(lit(1)).over(ties) - lit(1)) / lit(2.0)).cast("int"))
+  }
+
+  /** ORDER BY + LIMIT round(pct * count) — the reference's
+    * `LIMIT 0.01 * (SELECT COUNT(*) …) / 100` (README.md:188). Postgres
+    * rounds fractional LIMITs; `math.round` replicates that. The count is
+    * one cheap driver-side action; limit() plans TakeOrderedAndProject
+    * (distributed per-partition top-k, no global sort). */
+  def topPercent(df: DataFrame, pct: Double, ord: Seq[Column]): DataFrame = {
+    val k = math.round(pct / 100.0 * df.count()).toInt
+    df.orderBy(ord: _*).limit(k)
+  }
+}
