@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and the decode / feature-extract /
+  * resize / frame-sample operators structured the way they run at 100 TB:
+  *
+  *  - payloads never pass through a shuffle — transforms are narrow
+  *    (mapPartitions) over the batch iterator;
+  *  - work is batched per partition (`batchSize`) so a real decoder
+  *    (image/audio codec) amortizes model/codec setup per batch, the same
+  *    shape a vectorized/Arrow-batch UDF would have;
+  *  - ONLY the byte-level decode is stubbed (`StubCodec` — this container
+  *    has no image/audio libraries); schema, partitioning, batch iteration
+  *    and row fan-out (frame sampling) are real.
+  */
+object Multimodal {
+
+  /** media(media_id, kind, bytes, meta{width,height,sample_rate,duration_ms}) */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", IntegerType))))))
+
+  case class MediaMeta(width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], duration_ms: Option[Int])
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      checksum: Long, feature: Array[Float])
+  case class Frame(media_id: Long, frame_idx: Int, frame_ms: Int, bytes: Array[Byte])
+
+  /** STUB decoder: a real implementation would call an image/audio codec
+    * here. The fake is deterministic in the payload bytes so tests and
+    * oracle-style checks are stable. */
+  object StubCodec {
+    /** ??? real codec — deterministic fake: 4 moments of the byte stream. */
+    def decodeFeatures(bytes: Array[Byte]): Array[Float] = {
+      var sum = 0L; var min = 255; var max = 0
+      bytes.foreach { b => val v = b & 0xff; sum += v; min = math.min(min, v); max = math.max(max, v) }
+      val n = math.max(bytes.length, 1)
+      Array(n.toFloat, sum.toFloat / n, min.toFloat, max.toFloat)
+    }
+    /** ??? real resize — fake: deterministic subsample to `targetBytes`. */
+    def resize(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
+      if (bytes.length <= targetBytes) bytes
+      else Array.tabulate(targetBytes)(i => bytes(i * bytes.length / targetBytes))
+    }
+    def checksum(bytes: Array[Byte]): Long =
+      bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + (b & 0xff))
+  }
+
+  /** Batched per-partition transform — the Scala analogue of a vectorized
+    * batch UDF: groups the partition iterator into `batchSize` chunks and
+    * applies `f` per batch. Narrow (no shuffle), lazy (iterator-based). */
+  def mapBatches[T, U: org.apache.spark.sql.Encoder](ds: Dataset[T], batchSize: Int)(
+      f: Seq[T] => Seq[U]): Dataset[U] =
+    ds.mapPartitions(it => it.grouped(batchSize).flatMap(f))(implicitly)
+
+  /** Decode + feature-extract every payload (batched). */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      // a real codec would init once per batch here
+      batch.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong,
+          StubCodec.checksum(m.bytes), StubCodec.decodeFeatures(m.bytes))
+      }
+    }
+  }
+
+  /** Resize image payloads to a byte budget (non-images pass through). */
+  def resizeImages(media: Dataset[MediaRow], targetBytes: Int,
+      batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize)(_.map { m =>
+      if (m.kind == "image") m.copy(bytes = StubCodec.resize(m.bytes, targetBytes))
+      else m
+    })
+  }
+
+  /** Sample every `everyMs` frame of video payloads — a row fan-out
+    * (flatMap), still narrow. */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Int,
+      batchSize: Int = 16): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize)(_.flatMap { m =>
+      if (m.kind != "video") Seq.empty
+      else {
+        val dur = m.meta.duration_ms.getOrElse(0)
+        (0 until math.max(dur / math.max(everyMs, 1), 0)).map { i =>
+          val ms = i * everyMs
+          // ??? real frame decode — fake: a deterministic byte slice per frame
+          val fb = StubCodec.resize(m.bytes.drop(ms % math.max(m.bytes.length, 1)), 16)
+          Frame(m.media_id, i, ms, fb)
+        }
+      }
+    })
+  }
+
+  /** Demo media table derived from the documents fixture (payload = utf-8
+    * bytes), so the plumbing runs against real testdata shapes. */
+  def mediaFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      encode(col("text"), "utf-8").as("bytes"),
+      struct(
+        lit(64).as("width"), lit(64).as("height"),
+        lit(16000).as("sample_rate"),
+        (length(col("text")) * 10).cast("int").as("duration_ms")).as("meta"))
+      .as[MediaRow]
+  }
+}

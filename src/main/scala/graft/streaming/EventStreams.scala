@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event queries (q25/q27):
+  * the same logical transforms lifted onto an unbounded source, plus a
+  * stateful sessionizer via flatMapGroupsWithState.
+  *
+  * At scale: watermarks bound state (late events beyond the watermark are
+  * dropped, closed windows/sessions are evicted), and all state is
+  * hash-partitioned on the group key — the streaming query shuffles exactly
+  * like its batch twin. */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Long, session_value: Double)
+
+  /** Session accumulator (public: Catalyst codegen instantiates it). */
+  case class SessionState(start: Long, lastSeen: Long, n: Long, total: Double)
+
+  /** Tumbling 1-hour counts per event type with a watermark for state GC —
+    * streaming twin of Relational.q25Tumbling. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 2h/1h average value — streaming twin of q26. */
+  def slidingAvg(events: DataFrame, watermark: String = "3 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 3).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("avg_value"))
+
+  /** Stateful sessionization (30-min inactivity gap) with
+    * flatMapGroupsWithState — emits a session row when the gap closes it;
+    * event-time timeout (watermark-driven) flushes idle users, so state is
+    * bounded and batch-deterministic. Batch twin: q27. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(userId, new Timestamp(s.start), s.n, math.rint(s.total * 100) / 100))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.start), s.n,
+                    math.rint(s.total * 100) / 100)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

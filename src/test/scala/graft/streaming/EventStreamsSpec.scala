@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("tumbling streaming counts equal the batch formulation on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0),
+      Event(4, ts(80), 1, "click", 4.0))
+    mem.addData(events: _*)
+    val q = EventStreams.tumblingCounts(mem.toDF(), watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("tumbling_out")
+      .start()
+    // advance the watermark past all open windows so append emits them
+    mem.addData(Event(99, ts(600), 9, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tumbling_out")
+      .filter(col("event_type") =!= "flush")
+      .orderBy("hour_start", "event_type")
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSeq
+    val want = events.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+      .orderBy(col("window.start"), col("event_type"))
+      .select("event_type", "n", "s").as[(String, Long, Double)].collect().toSeq
+    assert(got == want)
+    assert(got == Seq(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 3.0)))
+  }
+
+  test("stateful sessionizer closes sessions on the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "a", 1.0),
+      Event(2, ts(10), 1, "a", 2.0), // same session (gap 10m < 30m)
+      Event(3, ts(60), 1, "a", 3.0), // new session (gap 50m)
+      Event(4, ts(5), 2, "b", 5.0))
+    val q = EventStreams.sessionize(mem.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sessions_out")
+      .start()
+    q.processAllAvailable()
+    // advance the watermark far past every open session → event-time
+    // timeouts flush them
+    mem.addData(Event(99, ts(600), 9, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_out")
+      .as[EventStreams.SessionOut].collect().toSeq
+      .sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(got == Seq(
+      EventStreams.SessionOut(1L, ts(0), 2, 3.0),   // closed by in-stream gap
+      EventStreams.SessionOut(1L, ts(60), 1, 3.0),  // flushed by timeout
+      EventStreams.SessionOut(2L, ts(5), 1, 5.0)))  // flushed by timeout
+  }
+}
