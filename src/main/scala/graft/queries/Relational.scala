@@ -225,7 +225,9 @@ object Relational {
       .orderBy("word")
 
   /** Scalar-function projection (C2-C10): regexp_replace, trim, case,
-    * substring, concat, length, cast — all codegen'd builtins. */
+    * substring, concat, length, cast — all codegen'd builtins — plus the
+    * custom transliterate Expression (C1) on a diacritic-bearing sample
+    * (DuckDB strip_accents agrees on NFD-decomposable characters). */
   def q17ScalarFuncs(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .select(
@@ -234,6 +236,8 @@ object Relational {
         length(col("c_name")).as("name_len"),
         concat(substring(col("c_name"), 1, 3), lit("_"), col("c_custkey").cast("string")).as("name_code"),
         trim(regexp_replace(col("c_name"), "[0-9]", "")).as("name_clean"),
+        graft.functions.TransliterateFn.transliterate(
+          concat(col("c_name"), lit(" Šrámek-čá"))).as("name_ascii"),
         round(col("c_acctbal"), 0).cast("long").as("bal_rounded"))
       .orderBy("c_custkey")
 
@@ -487,6 +491,7 @@ object Relational {
         |length(c_name) AS name_len,
         |concat(substring(c_name, 1, 3), '_', CAST(c_custkey AS VARCHAR)) AS name_code,
         |trim(regexp_replace(c_name, '[0-9]', '', 'g')) AS name_clean,
+        |strip_accents(c_name || ' Šrámek-čá') AS name_ascii,
         |CAST(round(c_acctbal, 0) AS BIGINT) AS bal_rounded
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q18_year_agg" ->
