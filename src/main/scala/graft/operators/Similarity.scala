@@ -37,6 +37,38 @@ object Similarity {
     corpus.withColumn("bucket", V.lshBucket(col(vecCol), planes))
   }
 
+  /** IVF coarse quantizer: KMeans centroids over a (sampled) corpus; each
+    * vector is assigned to its nearest centroid's cell. At 100 TB the model
+    * fits on the driver (k × dim doubles) and the assignment is a narrow
+    * map — one pass, no shuffle. */
+  def ivfAssign(corpus: DataFrame, k: Int = 16, seed: Long = 42L,
+      vecCol: String = "embedding"): DataFrame = {
+    val featurized = corpus.withColumn("__features",
+      org.apache.spark.ml.functions.array_to_vector(col(vecCol)))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setFeaturesCol("__features").setPredictionCol("cell")
+      .fit(featurized)
+    model.transform(featurized).drop("__features")
+  }
+
+  /** IVF approximate top-k: probe only the query's cell (nprobe=1). */
+  def knnIvf(corpus: DataFrame, queryIds: DataFrame => DataFrame, k: Int = 3,
+      nCells: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, nCells, vecCol = vecCol)
+    val c = assigned.select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queryIds(assigned)
+      .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(V.cosine(col("qv"), col("cv")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Misses across bucket boundaries are the accepted recall trade. */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int = 3,

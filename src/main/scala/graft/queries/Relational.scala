@@ -357,7 +357,31 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** Pivot / reshape (R-ext): order counts and revenue per year × status
+    * matrix; explicit value list keeps the plan a single pass, coalesce
+    * aligns empty cells with the oracle's CASE-sum zeros. */
+  def q28Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("order_year"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("order_year")
+
+  /** Rollup (grouping-sets ext): subtotals per (year, status), per year,
+    * and grand total in one pass. */
+  def q29Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(year(col("o_orderdate")).as("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
   val all: Map[String, Q] = Map(
+    "q28_pivot" -> (q28Pivot _),
+    "q29_rollup" -> (q29Rollup _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_agg" -> (q03JoinAgg _),
@@ -389,6 +413,17 @@ object Relational {
 
   /** DuckDB twins. Same column names, same ORDER BY, same rounding. */
   val oracle: Map[String, String] = Map(
+    "q28_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY order_year ORDER BY order_year""".stripMargin,
+    "q29_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+        |count(*) AS n, round(sum(o_totalprice),2) AS total_price
+        |FROM orders GROUP BY ROLLUP(order_year, o_orderstatus)
+        |ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity),2) AS sum_qty,

@@ -51,13 +51,15 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** Token counting per source (whitespace tokenization). */
+  /** Token counting per source: whitespace tokens + BPE-ish regex tokens
+    * (letter runs / digit runs / single symbols). */
   def q32TokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(T.nTokens(col("text"))).as("n_tokens"),
+        sum(size(T.regexTokens(col("text")))).as("n_regex_tokens"),
         round(avg(T.nTokens(col("text"))), 3).as("avg_tokens"))
       .orderBy("source")
 
@@ -134,6 +136,7 @@ object TextQueries {
     "q32_token_count" ->
       """SELECT source, count(*) AS n_docs,
         |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_regex_tokens,
         |round(avg(len(string_split(text, ' '))), 3) AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q33_dedup_exact" ->

@@ -34,10 +34,19 @@ object VectorQueries {
     Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.3)
       .orderBy("id_a", "id_b")
 
+  /** IVF (KMeans-cell) approximate top-3, nprobe=1 — the scale path a
+    * vector index takes at 10^9 vectors. Seeded, but KMeans internals are
+    * engine-specific → rows-only check. */
+  def q41KnnIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.knnIvf(Tables.embeddings(s, d),
+      assigned => assigned.filter(col("vec_id") < 10), k = 3, nCells = 8)
+      .orderBy("query_id", "rn")
+
   val all: Map[String, Q] = Map(
     "q38_knn_bruteforce" -> (q38KnnBrute _),
     "q39_knn_lsh" -> (q39KnnLsh _),
     "q40_embed_neardup" -> (q40EmbedNearDup _),
+    "q41_knn_ivf" -> (q41KnnIvf _),
   )
 
   val oracle: Map[String, String] = Map(
