@@ -241,11 +241,13 @@ object Relational {
         round(col("c_acctbal"), 0).cast("long").as("bal_rounded"))
       .orderBy("c_custkey")
 
-  /** Date-part extraction + agg (C12): orders per year. */
+  /** Date-part extraction + agg (C12), exact distinct count (A5). */
   def q18YearAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).as("order_year"))
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct("o_custkey").as("n_customers"),
+        round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy("order_year")
 
   /** Running total window frame (§2.5 extension): cumulative spend per
@@ -531,6 +533,7 @@ object Relational {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q18_year_agg" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year, count(*) AS n_orders,
+        |count(DISTINCT o_custkey) AS n_customers,
         |round(sum(o_totalprice),2) AS total_price
         |FROM orders GROUP BY order_year ORDER BY order_year""".stripMargin,
     "q19_running_sum" ->
