@@ -381,9 +381,29 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
+  /** As-of join (custom operator, composed — see operators.AsOfJoin): each
+    * purchase event paired with the user's most recent click at or before
+    * it. DuckDB's native ASOF LEFT JOIN is the oracle. */
+  def q42AsOf(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    graft.operators.AsOfJoin.backward(
+      purchases, clicks, on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      rightCols = Map("ts" -> "click_ts", "value" -> "click_value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), TS).as("purchase_ts"),
+        date_format(col("click_ts"), TS).as("click_ts"),
+        round(col("click_value"), 2).as("click_value"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q28_pivot" -> (q28Pivot _),
     "q29_rollup" -> (q29Rollup _),
+    "q42_asof_join" -> (q42AsOf _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_agg" -> (q03JoinAgg _),
@@ -415,6 +435,15 @@ object Relational {
 
   /** DuckDB twins. Same column names, same ORDER BY, same rounding. */
   val oracle: Map[String, String] = Map(
+    "q42_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |round(c.value, 2) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q28_pivot" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
         |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
