@@ -19,6 +19,7 @@ import graft.functions.TransliterateExpr
   * SQL users get the same WholeStageCodegen path as the DataFrame API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPostHocResolutionRule(_ => ArgmaxRewriteRule)
     e.injectFunction((
       new FunctionIdentifier("transliterate"),
       new ExpressionInfo(classOf[TransliterateExpr].getName, "transliterate"),

@@ -26,6 +26,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val got = spark.sql("SELECT transliterate(name) AS a FROM names ORDER BY a")
         .as[String].collect().toSeq
       assert(got == Seq("Moller", "Sramek"))
+
+      // ArgmaxRewriteRule: the reference's theta-join argmax plan becomes a
+      // window — no Join in the optimized plan, same rows incl. ties
+      Seq(("a", 1, 10), ("a", 2, 30), ("a", 3, 30), ("b", 4, 5))
+        .toDF("g", "id", "m").createOrReplaceTempView("t")
+      val q =
+        """SELECT f.g, f.id, f.m FROM t f
+          |LEFT JOIN t f1 ON f.g = f1.g AND f.m < f1.m
+          |WHERE f1.g IS NULL""".stripMargin
+      val df = spark.sql(q)
+      val optimized = df.queryExecution.optimizedPlan
+      assert(!optimized.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Join]),
+        s"theta-join argmax not rewritten:\n$optimized")
+      assert(optimized.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Window]))
+      val rows = df.as[(String, Int, Int)].collect().toSet
+      assert(rows == Set(("a", 2, 30), ("a", 3, 30), ("b", 4, 5)))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
