@@ -21,6 +21,21 @@ class GroupOpsSpec extends SparkSpec {
     }
   }
 
+  test("HIndexAggregator UDAF equals the window formulation and the exact reference") {
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { _ =>
+      val groups = (0 until 4).map { g =>
+        g -> List.fill(1 + rnd.nextInt(25))(rnd.nextInt(50))
+      }
+      val rows = groups.flatMap { case (g, cs) => cs.map(c => (g, c)) }
+      val df = rows.toDF("g", "cites")
+      val viaAgg = df.groupBy("g").agg(HIndexAggregator(col("cites")).as("h"))
+        .as[(Int, Int)].collect().toMap
+      val want = groups.map { case (g, cs) => g -> GroupOps.hIndexExact(cs) }.toMap
+      assert(viaAgg == want)
+    }
+  }
+
   test("argmaxPerGroup equals the theta-join + IS NULL formulation and keeps ties") {
     val df = Seq(
       ("a", 1, 10), ("a", 2, 30), ("a", 3, 30),
