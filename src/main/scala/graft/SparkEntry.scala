@@ -29,5 +29,6 @@ object SparkEntry {
   def headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q07_multi_join",
     "q10_argmax_window", "q13_hindex", "q19_running_sum",
-    "q21_cosupply_pairs", "q25_tumbling_window", "q27_sessionize")
+    "q21_cosupply_pairs", "q25_tumbling_window", "q27_sessionize",
+    "q33_dedup_exact", "q38_knn_bruteforce", "q42_asof_join")
 }
