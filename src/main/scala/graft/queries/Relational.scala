@@ -400,10 +400,24 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Native session windows (Spark's session_window operator): same
+    * 30-minute-gap sessions as q27, via the built-in merging-window agg
+    * instead of lag+cumsum. Boundary note: session_window closes at
+    * gap >= 30 min where q27's lag formulation closes at > 30 min —
+    * indistinguishable on micro-precision timestamps. */
+  def q43SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"), date_format(col("w.start"), TS).as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
   val all: Map[String, Q] = Map(
     "q28_pivot" -> (q28Pivot _),
     "q29_rollup" -> (q29Rollup _),
     "q42_asof_join" -> (q42AsOf _),
+    "q43_session_window" -> (q43SessionWindow _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_agg" -> (q03JoinAgg _),
@@ -444,6 +458,22 @@ object Relational {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q43_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events, round(sum(value),2) AS session_value
+        |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q28_pivot" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
         |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
