@@ -75,12 +75,18 @@ object Augment {
       .join(broadcast(namesGenders.select("first_name", "gender")
         .dropDuplicates("first_name")), Seq("first_name"), "left")
 
+    // total_pubs counts authorship rows directly (reference:
+    // final_tables.py:125-126 groups the authorship table, NOT the
+    // article-joined stats — the two differ if referential integrity is
+    // ever broken, as in the reference's own shipped data)
+    val pubs = authorshipReady.groupBy("author_id")
+      .agg(count(lit(1)).cast("int").as("total_pubs"))
+
     // per-(author, article) stats source: citations + coauthor counts
     val stats = authorshipReady
       .join(articleReady.select("article_id", "n_cites", "n_authors"), Seq("article_id"))
 
     val perAuthor = stats.groupBy("author_id").agg(
-      count(lit(1)).cast("int").as("total_pubs"),
       sum("n_cites").cast("int").as("total_cites"),
       round(sum("n_cites") / count(lit(1)), 3).as("avg_cites"),
       expr("percentile(n_authors - 1, 0.5)").as("med_coauthors"))
@@ -95,6 +101,7 @@ object Augment {
       .agg((countDistinct("coauthor_id") - lit(1)).cast("int").as("n_unique_coauthors"))
 
     val ranked = base
+      .join(pubs, Seq("author_id"))
       .join(perAuthor, Seq("author_id"))
       .join(hidx, Seq("author_id"))
       .join(coauth, Seq("author_id"))
