@@ -42,6 +42,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Seq(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 3.0)))
   }
 
+  test("tumbling agg streams to a parquet sink with checkpointing") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("stream-sink").toString
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0))
+    val q = EventStreams.tumblingCounts(mem.toDF(), watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    mem.addData(Event(99, ts(600), 9, "flush", 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$tmp/out")
+      .filter(col("event_type") =!= "flush")
+      .orderBy("hour_start", "event_type")
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(back == Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    // restart from the checkpoint: no reprocessing, no duplicate output
+    val q2 = EventStreams.tumblingCounts(mem.toDF(), watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(s"$tmp/out")
+      .filter(col("event_type") =!= "flush").count() == 2)
+  }
+
   test("stateful sessionizer closes sessions on the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
