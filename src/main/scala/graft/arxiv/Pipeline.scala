@@ -58,12 +58,12 @@ class ArxivPipeline(spark: SparkSession, stageDir: String) {
 
   /** Register the gold tables as temp views so the DWH queries also run as
     * `spark.sql` (the reference's interactive surface, README §5.1). */
-  def registerViews(t: ArxivTables): Unit = {
-    t.article.createOrReplaceTempView("article")
-    t.author.createOrReplaceTempView("author")
-    t.authorship.createOrReplaceTempView("authorship")
-    t.articleCategory.createOrReplaceTempView("article_category")
-    t.category.createOrReplaceTempView("category")
-    t.journal.createOrReplaceTempView("journal")
-  }
+  def registerViews(t: ArxivTables): Unit =
+    Seq(
+      "article" -> t.article, "author" -> t.author,
+      "authorship" -> t.authorship, "article_category" -> t.articleCategory,
+      "category" -> t.category, "journal" -> t.journal)
+      .foreach { case (name, df) =>
+        if (df != null) df.createOrReplaceTempView(name)
+      }
 }
