@@ -65,12 +65,16 @@ object Dedup {
   }
 
   /** MinHash signatures: k independent hashes, min over shingles.
+    * The (variable-length) shingle string is hashed ONCE; the k
+    * "permutations" re-hash the resulting fixed 8-byte value — one string
+    * pass + k word hashes per shingle instead of k string passes.
     * Output: id, sig array<long> of length k. */
   def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(T.shingles(col(textCol), n)).as("shingle"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+      .withColumn("h", xxhash64(col("shingle")))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     sh.groupBy("id")
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))

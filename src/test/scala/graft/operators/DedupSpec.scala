@@ -35,6 +35,14 @@ class DedupSpec extends SparkSpec {
     assert(j == 0.8333)
   }
 
+  test("hot-shingle pruning keeps near-dup pairs while bounding join width") {
+    // shingles of the 2/3 near-dup pair are rare; df cap removes only the
+    // corpus-wide hot shingles, so the pair survives with jaccard intact
+    val got = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5, maxDocFreq = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 3L)))
+  }
+
   test("minhash LSH surfaces the high-similarity pair") {
     val got = Dedup.minhashLsh(docs, k = 16, bands = 4, minEstimate = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
