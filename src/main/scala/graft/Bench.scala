@@ -1,10 +1,16 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
-/** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR, one JSON
-  * line on stdout. Each query is fully executed (count() drains the plan)
-  * after a warm-up of the table cache via the first query. */
+/** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract (VERDICT r1 §wrong 1-3): the JSON line is BOTH written
+  * to `bench_out.json` in the working directory AND printed as the final
+  * stdout line, so the driver can parse it even if sbt log noise surrounds
+  * stdout. Failures are never folded into timings: a failing query records
+  * `-1` and `"ok":{...false}` in the JSON and the process exits non-zero.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,34 +20,56 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up shuffle/codegen machinery and the parquet reader path so
-    // one-time infra init isn't charged to the first measured query.
+    // one-time infra init isn't charged to the first measured query. Tables
+    // warm through their typed accessors (events needs the nanos→micros
+    // conversion; a raw load would dump an ERROR stack into the log tail).
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").count().count()
-    graft.core.Tables.names.foreach { t =>
-      try graft.core.Tables.load(spark, sfDir, t).limit(1).count()
-      catch { case _: Throwable => () }
-    }
+    Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
+      graft.core.Tables.region, graft.core.Tables.nation,
+      graft.core.Tables.customer, graft.core.Tables.supplier,
+      graft.core.Tables.part, graft.core.Tables.orders,
+      graft.core.Tables.lineitem, graft.core.Tables.events,
+      graft.core.Tables.documents, graft.core.Tables.embeddings)
+      .foreach(t => t(spark, sfDir).limit(1).count())
     val names = SparkEntry.headline.filter(SparkEntry.queries.contains)
     // The sandbox VM shows multi-second scheduling stalls unrelated to the
     // workload (observed 17 s outliers on a warm 1 s query with zero GC);
     // min-of-2 per query keeps the measurement about the plan, not the host.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      val anyOk = runs.exists(_._1)
+      val best = if (anyOk) runs.filter(_._1).map(_._2).min else -1.0
+      (name, anyOk, best)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val oks = results.map { case (k, ok, _) => "\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val allOk = results.forall(_._2)
+    val total = results.filter(_._2).map(_._3).sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ok":$oks,"all_ok":$allOk,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
+    // Final line on stdout, after spark.stop() so no executor shutdown
+    // chatter can interleave behind it.
+    println(json)
+    if (!allOk) sys.exit(1)
   }
 }

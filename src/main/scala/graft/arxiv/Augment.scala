@@ -103,7 +103,11 @@ object Augment {
     val ranked = base
       .join(pubs, Seq("author_id"))
       .join(perAuthor, Seq("author_id"))
-      .join(hidx, Seq("author_id"))
+      // left + coalesce: hIndex drops NULL citation counts, so an author
+      // whose every n_cites is NULL has no hidx row — reference semantics
+      // give them h-index 0, not removal from the author table
+      .join(hidx, Seq("author_id"), "left")
+      .withColumn("hindex", coalesce(col("hindex"), lit(0)))
       .join(coauth, Seq("author_id"))
     val withRanks = Seq(
       ("total_pubs", "rank_total_pubs"),

@@ -26,14 +26,20 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as raw nanos (legacy conf) and convert to micros
-    * (TimestampType). Generator precision is micros, so floor-div by 1000 is
-    * lossless and matches DuckDB's TIMESTAMP_NS → us semantics. */
+    * rejects; read it as raw nanos and convert to micros (TimestampType).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session —
+    * set it in the session builder ([[Sessions.local]], Bench, Verify), not
+    * here: a read-time `conf.set` is a global side effect that races under
+    * concurrent sessions. Conversion uses integral `div`: `/` on longs is
+    * double division and 2024-era epoch-nanos (~1.7e18) exceed double's
+    * 2^53 integer range, truncating ~1% of values 1 microsecond low. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true in the session builder " +
+        "(events.parquet is TIMESTAMP(NANOS))")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

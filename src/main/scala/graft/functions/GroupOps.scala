@@ -22,11 +22,20 @@ object GroupOps {
   /** h-index per group: largest h such that the h-th largest value >= h
     * (reference: binary search over desc-sorted citations,
     * dags/scripts/augmentations.py:125-148). Window formulation:
-    * h = max(least(value, row_number_desc)) — exact, builtin-only. */
+    * h = max(least(value, row_number_desc)) — exact, builtin-only.
+    *
+    * NULL values are dropped first: `least()` skips NULLs and desc ordering
+    * sorts them last, so an unfiltered NULL would get the max row_number
+    * and inflate the group's h-index to its row count. The reference never
+    * sees NULLs here (missing citation counts are absent rows, not NULL),
+    * so drop-then-aggregate matches it; groups that become empty keep an
+    * h-index row only if they had at least one non-NULL value — callers
+    * joining back should left-join and coalesce to 0, as Augment does. */
   def hIndex(df: DataFrame, groupCol: String, valueCol: String,
       out: String = "hindex"): DataFrame = {
     val w = Window.partitionBy(groupCol).orderBy(col(valueCol).desc)
-    df.withColumn("__rn", row_number().over(w))
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .groupBy(groupCol)
       .agg(coalesce(max(least(col(valueCol), col("__rn"))), lit(0)).cast("int").as(out))
   }

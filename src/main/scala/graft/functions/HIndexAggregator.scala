@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -48,7 +49,9 @@ object HIndexAggregator {
       }
       0
     }
-    def bufferEncoder: Encoder[Array[Int]] = Encoders.javaSerialization[Array[Int]]
+    // native array encoder (unsafe array, ~4 KB) instead of Java
+    // serialization — smaller and faster in the partial-agg shuffle
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
     def outputEncoder: Encoder[Int] = Encoders.scalaInt
   }
 

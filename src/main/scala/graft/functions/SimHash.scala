@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -39,7 +40,10 @@ object SimHash {
       while (i < Bits) { if (b(i) > 0) r |= (1L << i); i += 1 }
       r
     }
-    def bufferEncoder: Encoder[Array[Int]] = Encoders.javaSerialization[Array[Int]]
+    // native array encoder: the 64-int buffer serializes as an unsafe
+    // array (~260 B) in every partial-agg shuffle row — Java serialization
+    // of the same buffer is several × larger and slower to round-trip
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 

@@ -33,6 +33,10 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTs: String, rightTs: String,
       rightCols: Map[String, String]): DataFrame = {
+    val collisions = rightCols.values.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightCols destinations collide with left columns: ${collisions.mkString(", ")} " +
+        "(withColumn would silently overwrite the left payload)")
     val leftCols = left.columns.filterNot(on.contains).filterNot(_ == leftTs)
     val l = left.select(
       (on.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__is_l")) ++
@@ -42,8 +46,14 @@ object AsOfJoin {
       (on.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__is_l")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightCols.map { case (src, dst) => col(src).as(s"__r_$dst") }: _*)
+    // Tie-break beyond (__ts, __is_l): multiple right rows sharing
+    // (key, ts) would otherwise carry a partitioning-dependent payload.
+    // Ordering by the payload columns themselves makes the carried value
+    // deterministic — the greatest payload tuple at the shared timestamp
+    // wins (documented semantics, independent of run/partition layout).
+    val tiebreak = rightCols.values.toSeq.sorted.map(v => col(s"__r_$v"))
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__ts"), col("__is_l"))
+      .orderBy(col("__ts") +: col("__is_l") +: tiebreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.values.foldLeft(l.unionByName(r)) { (df, v) =>
       df.withColumn(v, last(col(s"__r_$v"), ignoreNulls = true).over(w))

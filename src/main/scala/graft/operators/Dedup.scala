@@ -149,13 +149,15 @@ object Dedup {
   def embeddingNearDup(embs: DataFrame, threshold: Double = 0.9,
       blockCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val a = embs.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
-      col(vecCol).as("va"))
-    val b = embs.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"))
+    // norms computed once per row, pre-join: each candidate pair then
+    // costs a single dot product (see VectorFunctions.cosineFromNorms)
+    val n = embs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"), V.l2Norm(col(vecCol)).as("nrm"))
+    val a = n.select(col("blk"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("blk"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(V.cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(V.cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.LeftOuter
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
 
 /** Optimizer rule rewriting the reference's per-group argmax idiom
   * (`analytical_queries.ipynb` cells 30/33/36, README.md:209-220):
@@ -25,14 +24,21 @@ import org.apache.spark.sql.types.IntegerType
   *    plus exactly one `left.m < right.m` on corresponding columns;
   *  - the filter is IS NULL on one of the right-side equality keys.
   *
-  * Row multiset is preserved exactly for non-null group keys and metrics
-  * (the reference's post-filter data); null keys/metrics would survive the
-  * theta-join unconditionally but rank lower in the window, so the rule
-  * leaves any plan whose keys/metrics admit nulls in their *matched*
-  * equality semantics unchanged only in that documented edge. Output
-  * schema is preserved: right-side columns are re-emitted as typed nulls
-  * under their original exprIds (they are all-null after the IS NULL
-  * filter by construction).
+  * Row multiset is preserved exactly — including NULLs. In the original,
+  * a row with a NULL group key or NULL metric matches no peer (the join
+  * condition evaluates to NULL), survives the left join unmatched, and
+  * passes the IS NULL filter; a naive rank()-window rewrite would drop
+  * such rows (NULL keys partition together, NULL metrics sort last). The
+  * rewrite therefore filters on
+  *
+  *   (any key IS NULL) OR metric IS NULL OR metric = max(metric) OVER w
+  *
+  * where max() skips NULLs — for non-null keys and metrics this is the
+  * per-group argmax with ties, and the escape disjuncts reproduce the
+  * theta-join's keep-NULLs behavior bit-for-bit. Output schema is
+  * preserved: right-side columns are re-emitted as typed nulls under
+  * their original exprIds (they are all-null after the IS NULL filter by
+  * construction — a kept row matched no peer).
   *
   * Registered via [[GraftExtensions]] as a post-resolution rule: at
   * analysis time the self-join's two sides are still structurally
@@ -98,14 +104,18 @@ object ArgmaxRewriteRule extends Rule[LogicalPlan] {
     val probeOrdinal = rOrdinal(nullAttr).getOrElse(return None)
     if (!eqKeyOrdinals.contains(probeOrdinal)) return None
 
-    // rank() OVER (PARTITION BY keys ORDER BY m DESC)
-    val order = Seq(SortOrder(m, Descending))
-    val frame = SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
-    val rankExpr = WindowExpression(Rank(order.map(_.child)),
-      WindowSpecDefinition(eqKeys.toSeq, order, frame))
-    val rankAlias = Alias(rankExpr, "__argmax_rk")()
-    val window = Window(Seq(rankAlias), eqKeys.toSeq, order, left)
-    val filtered = Filter(EqualTo(rankAlias.toAttribute, Literal(1, IntegerType)), window)
+    // max(m) OVER (PARTITION BY keys) — whole-partition frame, no sort
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
+    val maxExpr = WindowExpression(
+      aggregate.AggregateExpression(aggregate.Max(m), aggregate.Complete, isDistinct = false),
+      WindowSpecDefinition(eqKeys.toSeq, Nil, frame))
+    val maxAlias = Alias(maxExpr, "__argmax_max")()
+    val window = Window(Seq(maxAlias), eqKeys.toSeq, Nil, left)
+    // keep: NULL key or NULL metric (theta-join never matches those rows)
+    // or per-group maximum (ties included — rank()=1 semantics)
+    val keep = (eqKeys.map(IsNull(_): Expression) :+ IsNull(m))
+      .foldRight(EqualTo(m, maxAlias.toAttribute): Expression)(Or)
+    val filtered = Filter(keep, window)
     // preserve the original output: left columns + right columns as nulls
     val rightNulls = rOut.map(a => Alias(Literal(null, a.dataType), a.name)(a.exprId))
     Some(Project(lOut ++ rightNulls, filtered))

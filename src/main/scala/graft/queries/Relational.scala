@@ -270,20 +270,22 @@ object Relational {
       .agg(sum("k").as("sum_k"), count(lit(1)).as("n"), max("k").as("max_k"))
       .orderBy("event_type")
 
-  /** Graph 2-hop self-join (J7/G3): supplier pairs co-supplying a part.
-    * Dedup to distinct (part,supplier) first so the join fans out on the
-    * small distinct set; s1<s2 halves the pair space. */
-  def q21CoSupply(s: SparkSession, d: String): DataFrame = {
-    val ps = Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
-    val a = ps.select(col("l_partkey"), col("l_suppkey").as("s1"))
-    val b = ps.select(col("l_partkey"), col("l_suppkey").as("s2"))
-    a.join(b, Seq("l_partkey"))
-      .filter(col("s1") < col("s2"))
-      .groupBy("s1", "s2")
-      .agg(count(lit(1)).as("shared_parts"))
-      .filter(col("shared_parts") >= 2)
+  /** Graph 2-hop self-join (J7/G3): supplier pairs co-supplying a part,
+    * via [[graft.operators.CoOccur]] — distinct (part,supplier) input,
+    * s1<s2 halves the pair space, and parts with more than 64 suppliers
+    * are dropped before the join (hot-key bound; the synthetic data maxes
+    * at 52 suppliers/part at sf0.1, so the cap is inert here, but a
+    * skewed part at 100× data would otherwise fan out quadratically).
+    * The DuckDB oracle applies the same cap, so semantics match at every
+    * scale factor by construction. */
+  def q21CoSupply(s: SparkSession, d: String): DataFrame =
+    graft.operators.CoOccur.pairs(
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey"),
+      keyCol = "l_partkey", itemCol = "l_suppkey",
+      minShared = 2L, maxItemsPerKey = 64L)
+      .select(col("item_a").as("s1"), col("item_b").as("s2"),
+        col("shared_keys").as("shared_parts"))
       .orderBy("s1", "s2")
-  }
 
   /** Sorted collect_list (A11) rendered as a deterministic string. */
   def q22Collect(s: SparkSession, d: String): DataFrame =
@@ -608,7 +610,9 @@ object Relational {
         |CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q21_cosupply_pairs" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      """WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ps AS (SELECT * FROM ps0 WHERE l_partkey IN (
+        |  SELECT l_partkey FROM ps0 GROUP BY l_partkey HAVING count(*) <= 64))
         |SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS shared_parts
         |FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         |GROUP BY s1, s2 HAVING count(*) >= 2 ORDER BY s1, s2""".stripMargin,

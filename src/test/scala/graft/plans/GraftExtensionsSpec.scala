@@ -44,6 +44,58 @@ class GraftExtensionsSpec extends AnyFunSuite {
         org.apache.spark.sql.catalyst.plans.logical.Window]))
       val rows = df.as[(String, Int, Int)].collect().toSet
       assert(rows == Set(("a", 2, 30), ("a", 3, 30), ("b", 4, 5)))
+
+      // NULL keys and NULL metrics (ADVICE r1, high): the theta-join keeps
+      // every row whose key or metric is NULL (the join condition never
+      // matches); the rewrite must reproduce that multiset exactly.
+      Seq[(Option[String], Int, Option[Int])](
+        (Some("a"), 1, Some(10)), (Some("a"), 2, Some(30)),
+        (Some("a"), 3, None),              // NULL metric → kept
+        (None, 4, Some(99)), (None, 5, Some(1)), // NULL keys → all kept
+        (Some("b"), 6, None), (Some("b"), 7, None), // all-NULL group → all kept
+        (Some("c"), 8, Some(7)))
+        .toDF("g", "id", "m").createOrReplaceTempView("tn")
+      val qn =
+        """SELECT f.g, f.id, f.m FROM tn f
+          |LEFT JOIN tn f1 ON f.g = f1.g AND f.m < f1.m
+          |WHERE f1.g IS NULL""".stripMargin
+      val dfn = spark.sql(qn)
+      assert(!dfn.queryExecution.optimizedPlan.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "nullable argmax not rewritten")
+      val gotN = dfn.as[(Option[String], Int, Option[Int])].collect().toSet
+      assert(gotN == Set(
+        (Some("a"), 2, Some(30)), (Some("a"), 3, None),
+        (None, 4, Some(99)), (None, 5, Some(1)),
+        (Some("b"), 6, None), (Some("b"), 7, None),
+        (Some("c"), 8, Some(7))),
+        s"null-handling mismatch: $gotN")
+      // and the same query WITHOUT the rule agrees (executed ground truth,
+      // not just the hand-derived set): fresh session, no extensions
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val plainSpark = SparkSession.builder()
+        .master("local[2]").appName("graft-ext-spec-plain")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import org.apache.spark.sql.{Row => SRow}
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val schema = StructType(Seq(StructField("g", StringType),
+        StructField("id", IntegerType, nullable = false), StructField("m", IntegerType)))
+      plainSpark.createDataFrame(java.util.Arrays.asList(
+        SRow("a", 1, 10), SRow("a", 2, 30), SRow("a", 3, null),
+        SRow(null, 4, 99), SRow(null, 5, 1), SRow("b", 6, null),
+        SRow("b", 7, null), SRow("c", 8, 7)), schema)
+        .createOrReplaceTempView("tn")
+      val plainDf = plainSpark.sql(qn)
+      assert(plainDf.queryExecution.optimizedPlan.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "control session unexpectedly rewrote the join")
+      val plain = plainDf.collect().map(r =>
+        (Option(r.getAs[String]("g")), r.getInt(1),
+          Option(r.getAs[Integer]("m")).map(_.intValue))).toSet
+      assert(gotN == plain)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
