@@ -15,18 +15,26 @@ object ArxivQueries {
 
   private val TopPct = 0.01 // "top 0.01%"
 
+  /** The computed top-k: `round(0.01 * count(author) / 100)` — the
+    * reference's scalar-subquery LIMIT (README.md:188), with Postgres
+    * numeric-LIMIT rounding. `kOverride` lets tests pin k directly. */
+  private def topK(author: DataFrame, kOverride: Option[Int]): Int =
+    kOverride.getOrElse(math.round(TopPct / 100.0 * author.count()).toInt)
+
   /** Q1 (README.md:185-188): top 0.01% authors by publication count. */
-  def q1TopAuthorsByPubs(author: DataFrame): DataFrame =
-    GroupOps.topPercent(
-      author.select(col("author_id"), col("rank_total_pubs").as("rank"),
-        col("total_pubs").as("publications")),
-      TopPct, Seq(col("rank")))
+  def q1TopAuthorsByPubs(author: DataFrame, k: Option[Int] = None): DataFrame =
+    author.select(col("author_id"), col("rank_total_pubs").as("rank"),
+        col("total_pubs").as("publications"))
+      .orderBy("rank").limit(topK(author, k))
 
   /** Q2 (README.md:196-220): for the Q1 authors, their modal journal and
-    * its share of their publications (integer percent, 'NN%'). */
+    * its share of their publications (integer percent, 'NN%'). The
+    * trailing limit replicates the reference's outer
+    * `LIMIT 0.01*count/100` (README.md:218-220). */
   def q2TopJournalShare(author: DataFrame, authorship: DataFrame,
-      article: DataFrame, journal: DataFrame): DataFrame = {
-    val top = q1TopAuthorsByPubs(author)
+      article: DataFrame, journal: DataFrame, k: Option[Int] = None): DataFrame = {
+    val kk = topK(author, k)
+    val top = q1TopAuthorsByPubs(author, Some(kk))
     val perJournal = top
       .join(authorship, Seq("author_id"))
       .join(article.select("article_id", "journal_issn"), Seq("article_id"))
@@ -44,16 +52,19 @@ object ArxivQueries {
           .cast("int").cast("string"), lit("%"))
           .as("percentage_of_all_publications"))
       .orderBy("rank")
+      .limit(kk)
   }
 
   /** Q3 (README.md:233-250): most productive year per top author — argmax
-    * over per-year avg_cites with Postgres integer division. Ties kept,
-    * as in the reference's theta-join. */
+    * over per-year avg_cites with Postgres integer division. Ties kept by
+    * the argmax (as in the reference's theta-join), then the trailing
+    * LIMIT truncates to exactly k rows as Postgres does
+    * (README.md:248-252). */
   def q3MostProductiveYear(author: DataFrame, authorship: DataFrame,
-      article: DataFrame): DataFrame = {
-    val top = GroupOps.topPercent(
-      author.select(col("author_id"), col("rank_total_pubs").as("rank")),
-      TopPct, Seq(col("rank")))
+      article: DataFrame, k: Option[Int] = None): DataFrame = {
+    val kk = topK(author, k)
+    val top = author.select(col("author_id"), col("rank_total_pubs").as("rank"))
+      .orderBy("rank").limit(kk)
     val perYear = top
       .join(authorship, Seq("author_id"))
       .join(article.select("article_id", "year", "n_cites"), Seq("article_id"))
@@ -67,17 +78,18 @@ object ArxivQueries {
         col("year").as("most_influential_year"),
         col("pub").as("count_of_pub"), col("avg_cites"))
       .orderBy("rank")
+      .limit(kk)
   }
 
-  /** Q4 (README.md:262-281): "most influential year" — argmax over
+  /** Q4 (README.md:262-283): "most influential year" — argmax over
     * sum(hindex) per year (the reference sums the per-author constants
-    * over the year group; replicated exactly). */
+    * over the year group; replicated exactly), trailing LIMIT as q3. */
   def q4MostInfluentialYear(author: DataFrame, authorship: DataFrame,
-      article: DataFrame): DataFrame = {
-    val top = GroupOps.topPercent(
-      author.select(col("author_id"), col("rank_total_pubs").as("rank"),
-        col("total_pubs").as("publications"), col("hindex"), col("avg_cites")),
-      TopPct, Seq(col("rank")))
+      article: DataFrame, k: Option[Int] = None): DataFrame = {
+    val kk = topK(author, k)
+    val top = author.select(col("author_id"), col("rank_total_pubs").as("rank"),
+        col("total_pubs").as("publications"), col("hindex"), col("avg_cites"))
+      .orderBy("rank").limit(kk)
     val perYear = top
       .join(authorship, Seq("author_id"))
       .join(article.select("article_id", "year"), Seq("article_id"))
@@ -89,5 +101,6 @@ object ArxivQueries {
       .select(col("author_id"), col("rank"), col("hindex_sum").as("hindex"),
         col("pub"), col("avg_cites_sum").as("avg_cites"), col("year"))
       .orderBy("rank")
+      .limit(kk)
   }
 }

@@ -8,11 +8,15 @@ package graft.arxiv
   * Differences from the literal Postgres text, with rationale:
   *  - `LIMIT 0.01 * (SELECT COUNT(*) …) / 100` — Spark SQL has no
   *    expression LIMIT; the caller passes the computed k (same driver-side
-  *    count the reference's planner effectively ran).
+  *    count the reference's planner effectively ran). The reference puts
+  *    this limit BOTH on the top-author subquery AND trailing q2/q3/q4
+  *    (README.md:218-220,248-252,283) — both are kept: under argmax ties
+  *    the trailing LIMIT truncates to exactly k rows, as Postgres does.
   *  - `mode() WITHIN GROUP (ORDER BY x)` (q2) — no Spark equivalent;
   *    expressed as the count + row_number argmax with the same
   *    smallest-tied-value semantics.
-  *  - q3/q4 keep the reference's literal theta-join + IS NULL argmax
+  *  - the repeated `final`/`final1` subquery is written once as a CTE;
+  *    q3/q4 keep the reference's literal theta-join + IS NULL argmax
   *    shape — with [[graft.plans.GraftExtensions]] installed,
   *    [[graft.plans.ArgmaxRewriteRule]] rewrites it to a window at plan
   *    time, so the legacy SQL runs at window speed unchanged. */
@@ -42,7 +46,8 @@ object ArxivSql {
        |       concat(CAST(CAST(floor(number * 100 / publications) AS INT)
        |         AS STRING), '%') AS percentage_of_all_publications
        |FROM ranked WHERE rk = 1
-       |ORDER BY rank""".stripMargin
+       |ORDER BY rank
+       |LIMIT $k""".stripMargin
 
   /** Literal reference shape (theta-join argmax) — exercised through the
     * ArgmaxRewriteRule when GraftExtensions is installed. */
@@ -64,5 +69,33 @@ object ArxivSql {
        |LEFT JOIN per_year f1
        |  ON f.author_id = f1.author_id AND f.avg_cites < f1.avg_cites
        |WHERE f1.author_id IS NULL
-       |ORDER BY f.rank""".stripMargin
+       |ORDER BY f.rank
+       |LIMIT $k""".stripMargin
+
+  /** Q4 (README.md:262-283): "most influential year" — per-year argmax of
+    * sum(hindex) over the top authors' articles; same literal theta-join
+    * shape as q3 (the per-year aggregates sum the per-author CONSTANTS
+    * over the year group — the reference's own semantics, replicated). */
+  def q4(k: Int): String =
+    s"""WITH top AS (
+       |  SELECT author_id, rank_total_pubs AS rank, total_pubs AS publications,
+       |         hindex, avg_cites
+       |  FROM author
+       |  ORDER BY rank_total_pubs LIMIT $k),
+       |per_year AS (
+       |  SELECT t.author_id, t.rank,
+       |         CAST(sum(t.hindex) AS DOUBLE) AS hindex,
+       |         CAST(sum(t.publications) AS DOUBLE) AS pub,
+       |         sum(t.avg_cites) AS avg_cites, ar.year
+       |  FROM top t
+       |  JOIN authorship au ON t.author_id = au.author_id
+       |  JOIN article ar ON au.article_id = ar.article_id
+       |  GROUP BY t.author_id, t.rank, ar.year)
+       |SELECT f.author_id, f.rank, f.hindex, f.pub, f.avg_cites, f.year
+       |FROM per_year f
+       |LEFT JOIN per_year f1
+       |  ON f.author_id = f1.author_id AND f.hindex < f1.hindex
+       |WHERE f1.author_id IS NULL
+       |ORDER BY f.rank
+       |LIMIT $k""".stripMargin
 }

@@ -70,13 +70,49 @@ object TextFunctions {
     * key for exact dedup; portable across engines. */
   def contentFingerprint(text: Column): Column = md5(lower(text))
 
-  /** Rolling polynomial fingerprint over tokens (order-sensitive), computed
-    * mod the Mersenne prime 2^31-1 so it never overflows under ANSI mode:
-    * fp = fold(tokens, 0, (acc*31 + (xxhash64(tok) mod M)) mod M).
-    * Engine-specific (xxhash64 seed), so no SQL oracle — unit-tested. */
-  def rollingFingerprint(text: Column): Column = {
-    val m = lit((1L << 31) - 1)
-    aggregate(tokens(text), lit(0L),
+  /** Modulus for the rolling fingerprint: the Mersenne prime 2^31-1.
+    * All intermediate products stay < 2^62, so ANSI overflow checks
+    * never fire. */
+  val FingerprintMod: Long = (1L << 31) - 1
+
+  /** Polynomial rolling fold over an arbitrary token-array column:
+    * fp = fold(toks, 0, (acc*31 + (xxhash64(tok) mod M)) mod M). */
+  private def rollingFold(toks: Column): Column = {
+    val m = lit(FingerprintMod)
+    aggregate(toks, lit(0L),
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), m), m))
+  }
+
+  /** Rolling polynomial fingerprint over tokens (order-sensitive).
+    * Engine-specific (xxhash64 seed), so the VALUE has no SQL oracle —
+    * its algebra is oracle-checked instead via
+    * [[rollingFingerprintCheck]] (q37) and unit-tested. */
+  def rollingFingerprint(text: Column): Column = rollingFold(tokens(text))
+
+  /** 31^n mod M as a fold (n >= 0). */
+  private def pow31Mod(n: Column): Column = {
+    val m = lit(FingerprintMod)
+    when(n <= 0, lit(1L)).otherwise(
+      aggregate(sequence(lit(1L), n.cast("long")), lit(1L),
+        (acc, _) => pmod(acc * lit(31L), m)))
+  }
+
+  /** Prefix-composition self-check of the rolling fingerprint: a degree-n
+    * polynomial hash must satisfy fp(a ++ b) == (fp(a)·31^|b| + fp(b))
+    * mod M. Splitting each document's tokens in half and recombining
+    * exercises every term of the fold; the check is TRUE for all rows iff
+    * the fingerprint implements the claimed algebra — which gives the
+    * engine-specific hash a hash-exact DuckDB oracle
+    * (`SELECT doc_id, true`) without the oracle having to reproduce
+    * xxhash64. */
+  def rollingFingerprintCheck(text: Column): Column = {
+    val m = lit(FingerprintMod)
+    val t = tokens(text)
+    val na = (size(t) / lit(2)).cast("int")
+    val a = slice(t, lit(1), na)
+    val b = slice(t, na + lit(1), size(t) - na)
+    val recomposed = pmod(rollingFold(a) * pow31Mod(size(t) - na) + rollingFold(b), m)
+    val full = rollingFold(t)
+    recomposed === full && full >= 0 && full < m
   }
 }

@@ -56,4 +56,19 @@ object VectorFunctions {
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(v, typedLit(p.toSeq)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** ±1 plane as a DuckDB list literal (values are exactly ±1.0, so the
+    * literal round-trips losslessly into SQL). */
+  private def planeSql(p: Array[Double]): String =
+    p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** DuckDB twin of [[lshBucket]] over a double-list column named `v` —
+    * bit-for-bit the same bucket ids when `planes` are Rademacher ±1
+    * (each ±x_j term is an exact double, so both engines agree on the
+    * sign of the dot product). Used to build hash-exact oracles for the
+    * LSH-bucketed operators (q39/q40). */
+  def lshBucketDuckDbSql(planes: Array[Array[Double]], vExpr: String = "v"): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($vExpr, ${planeSql(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

@@ -3,14 +3,26 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.{VectorFunctions => V}
 import graft.operators.{Dedup, Similarity}
 
 /** Similarity-search battery over the `embeddings` table (64-dim float
   * vectors). Cosine math folds in double precision left-to-right on both
-  * engines, so rounded values hash-match. */
+  * engines, so rounded values hash-match.
+  *
+  * The approximate variants (q39 LSH, q41 IVF) use DETERMINISTIC,
+  * SQL-reproducible machinery — ±1 Rademacher hyperplanes and data-seeded
+  * centroids — so the full approximate top-k is DuckDB-oracle-verifiable,
+  * not just rows-counted. The plane/centroid literals in the oracle SQL
+  * are generated from the same Scala arrays the Spark plan uses.
+  */
 object VectorQueries {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** q39's LSH family: 8 seeded ±1 planes over the 64-dim embedding
+    * space (q40's default blocking family lives in Dedup.nearDupPlanes). */
+  private[graft] val lshPlanesQ39: Array[Array[Double]] = V.rademacherPlanes(8, 64)
 
   /** Brute-force cosine top-3 for the first 10 vectors as queries. */
   def q38KnnBrute(s: SparkSession, d: String): DataFrame = {
@@ -19,27 +31,31 @@ object VectorQueries {
       .orderBy("query_id", "rn")
   }
 
-  /** LSH-bucketed approximate top-3 (scale path; deterministic seeded
-    * hyperplanes — engine-specific, rows-only check). */
+  /** LSH-bucketed approximate top-3 (the scale path: one bucket shuffle,
+    * then per-bucket candidate joins). Rademacher ±1 planes make every
+    * bucket id and cosine SQL-reproducible → full hash oracle. */
   def q39KnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    Similarity.knnLsh(e, e.filter(col("vec_id") < 10), k = 3, nPlanes = 8)
+    Similarity.knnLshWith(e, e.filter(col("vec_id") < 10), lshPlanesQ39, k = 3)
       .orderBy("query_id", "rn")
   }
 
-  /** Embedding near-dup pairs: same-label blocking, cosine ≥ 0.3 (the
-    * synthetic corpus has no planted vector dups; τ relaxed to exercise
-    * the operator non-trivially). */
+  /** Embedding near-dup pairs with the default (LSH-bucket) blocking —
+    * label blocking went quadratic on low-cardinality corpora (VERDICT r2
+    * §wrong 3). cosine ≥ 0.3: the synthetic corpus has no planted vector
+    * dups; τ relaxed to exercise the operator non-trivially. */
   def q40EmbedNearDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.3)
       .orderBy("id_a", "id_b")
 
-  /** IVF (KMeans-cell) approximate top-3, nprobe=1 — the scale path a
-    * vector index takes at 10^9 vectors. Seeded, but KMeans internals are
-    * engine-specific → rows-only check. */
+  /** IVF approximate top-3 with data-seeded centroids (embeddings of
+    * vec_id < 8) and nprobe=2 — deterministic and SQL-reproducible, so
+    * the whole operator is hash-verified. The KMeans-cell variant
+    * ([[Similarity.knnIvf]]) keeps its recall pinned in SimilaritySpec. */
   def q41KnnIvf(s: SparkSession, d: String): DataFrame =
-    Similarity.knnIvf(Tables.embeddings(s, d),
-      assigned => assigned.filter(col("vec_id") < 10), k = 3, nCells = 8)
+    Similarity.knnIvfSeeded(Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") < 10),
+      k = 3, nCells = 8, nprobe = 2)
       .orderBy("query_id", "rn")
 
   val all: Map[String, Q] = Map(
@@ -63,15 +79,41 @@ object VectorQueries {
         |  FROM pairs)
         |SELECT query_id, neighbor_id, cos, rn FROM ranked
         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
-    "q40_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q39_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |  ${V.lshBucketDuckDbSql(lshPlanesQ39)} AS bucket FROM e),
+         |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, cos, rn FROM ranked
+         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    "q40_embed_neardup" -> Dedup.embeddingNearDupOracleSql(threshold = 0.3),
+    "q41_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cents AS (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+        |  FROM n WHERE vec_id < 8),
+        |scored AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    CAST(row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS INT) AS cr
+        |  FROM n CROSS JOIN cents c),
+        |corpus AS (SELECT vec_id AS neighbor_id, v AS cv, nrm AS cn, cid AS cell
+        |  FROM scored WHERE cr = 1),
+        |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS cell
+        |  FROM scored WHERE vec_id < 10 AND cr <= 2),
+        |pairs AS (SELECT query_id, neighbor_id,
+        |    round(list_dot_product(qv, cv) / (qn * cn), 4) AS cos
+        |  FROM qs JOIN corpus USING (cell) WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, cos, rn FROM ranked
+        |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
   )
 }

@@ -67,27 +67,80 @@ class ArxivSqlSpec extends AnyFunSuite {
 
       // q2: SQL vs DataFrame builder (same k injected both sides)
       val q2Sql = rows(spark.sql(ArxivSql.q2(kTop)))
-      assert(q2Sql.nonEmpty)
+      val q2Df = rows(ArxivQueries.q2TopJournalShare(
+        author, authorship, articles, journals, k = Some(kTop)))
+      assert(q2Sql == q2Df && q2Sql.nonEmpty)
       assert(q2Sql.forall(_.last.endsWith("%")))
 
-      // q3: the literal theta-join SQL — must be rewritten (no Join above
-      // per_year in the optimized plan beyond the star joins) and agree
-      // with the window-based DataFrame path on (author, year) argmaxes
-      val q3Df = spark.sql(ArxivSql.q3(kTop))
-      val optimized = q3Df.queryExecution.optimizedPlan
-      val selfJoins = optimized.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-          if j.condition.exists(_.exists(_.isInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.LessThan]))
-          => j
+      // q3/q4: the literal theta-join SQL — must be rewritten (no theta
+      // self-join left in the optimized plan) and agree with the
+      // window-based DataFrame builders row for row
+      def assertNoThetaJoin(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val selfJoins = df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.exists(_.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.LessThan]))
+            => j
+        }
+        assert(selfJoins.isEmpty, s"theta-join argmax not rewritten in $name SQL")
       }
-      assert(selfJoins.isEmpty, "theta-join argmax not rewritten in q3 SQL")
-      val got = q3Df.collect().map(r =>
-        (r.getString(0), r.getInt(4 - 3), r.getInt(2))).toSet // author, rank, year
-      assert(got.nonEmpty)
+      val q3Df = spark.sql(ArxivSql.q3(kTop))
+      assertNoThetaJoin(q3Df, "q3")
+      val q3Builder = rows(ArxivQueries.q3MostProductiveYear(
+        author, authorship, articles, k = Some(kTop)))
+      assert(rows(q3Df) == q3Builder && q3Builder.nonEmpty)
+
+      val q4Df = spark.sql(ArxivSql.q4(kTop))
+      assertNoThetaJoin(q4Df, "q4")
+      val q4Builder = rows(ArxivQueries.q4MostInfluentialYear(
+        author, authorship, articles, k = Some(kTop)))
+      assert(rows(q4Df) == q4Builder && q4Builder.nonEmpty)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
     }
+  }
+
+  test("trailing LIMIT truncates argmax ties to exactly k rows (Postgres parity)") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    // author2 has TWO tied most-productive years (same pub count, same
+    // integer-division avg_cites) → the untruncated q3 argmax yields 3
+    // rows for k=2; Postgres's outer LIMIT returns exactly 2.
+    val author = Seq(
+      ("author1", 1, 3, 5, 2.0, 10),
+      ("author2", 2, 2, 4, 1.0, 8),
+      ("author3", 3, 1, 2, 0.5, 3),
+    ).toDF("author_id", "rank_total_pubs", "total_pubs", "hindex", "avg_cites", "dummy")
+      .drop("dummy")
+    val articles = Seq(
+      ("a1", "issn-1", 10, 2020), ("a2", "issn-1", 10, 2020), ("a3", "issn-1", 10, 2021),
+      ("b1", "issn-1", 6, 2020), ("b2", "issn-1", 6, 2021), // author2: 2020 and 2021 tie
+      ("c1", "issn-1", 1, 2020),
+    ).toDF("article_id", "journal_issn", "n_cites", "year")
+    val authorship = Seq(
+      ("a1", "author1"), ("a2", "author1"), ("a3", "author1"),
+      ("b1", "author2"), ("b2", "author2"),
+      ("c1", "author3"),
+    ).toDF("article_id", "author_id")
+
+    import org.apache.spark.sql.functions.{col, count, floor, sum}
+    val k = 2
+    // q3's metric (integer-division avg_cites) without the trailing limit:
+    // author2's years tie at 6, and author1's tie at 10 → 4 argmax rows
+    val untruncated = graft.functions.GroupOps.argmaxPerGroup(
+      author.orderBy("rank_total_pubs").limit(k)
+        .select(col("author_id"))
+        .join(authorship, Seq("author_id"))
+        .join(articles, Seq("article_id"))
+        .groupBy("author_id", "year")
+        .agg(floor(sum(col("n_cites")).cast("long") / count("year")).as("avg_cites")),
+      Seq("author_id"), col("avg_cites"))
+    assert(untruncated.count() > k, "fixture must put a tie inside the top-k")
+
+    val q3 = ArxivQueries.q3MostProductiveYear(author, authorship, articles, k = Some(k))
+    assert(q3.count() == k.toLong)
+    val q4 = ArxivQueries.q4MostInfluentialYear(author, authorship, articles, k = Some(k))
+    assert(q4.count() == k.toLong)
   }
 }

@@ -64,15 +64,67 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((2L, 4L)))
   }
 
-  test("embedding near-dup by cosine with blocking") {
+  test("embedding near-dup by cosine with explicit label blocking") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
       (1L, Array(0.99f, 0.1f, 0.0f), 0),
       (2L, Array(0.0f, 1.0f, 0.0f), 0),
       (3L, Array(1.0f, 0.0f, 0.0f), 1), // same vector, different block
     ).toDF("vec_id", "embedding", "label")
-    val got = Dedup.embeddingNearDup(embs, threshold = 0.9)
+    val got = Dedup.embeddingNearDup(embs, threshold = 0.9, blockCol = Some("label"))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((0L, 1L))) // 0-3 blocked apart, 0-2 orthogonal
+  }
+
+  // 64-dim corpus for the default-LSH-blocking tests: a planted near-dup
+  // pair on a single low-cardinality label (the VERDICT r2 quadratic
+  // scenario for label blocking).
+  private lazy val wideEmbs = {
+    val rnd = new scala.util.Random(3L)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val rows = (0L, base, 0) +: (1L, near, 0) +:
+      (2L until 200L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat), 0))
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("default LSH blocking finds near-identical vectors without a label column") {
+    val got = Dedup.embeddingNearDup(wideEmbs, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // near-identical vectors agree on every plane sign → same bucket
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("default LSH blocking bounds candidate width where label blocking is quadratic") {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    // single label → label blocking puts all 200 rows in ONE block
+    // (200·199/2 candidate pairs); LSH buckets split the corpus so the
+    // widest block is a small fraction of it.
+    val bucketed = wideEmbs.select(
+      graft.functions.VectorFunctions.lshBucket(col("embedding"), Dedup.nearDupPlanes).as("blk"))
+    val maxBucket = bucketed.groupBy("blk").agg(count(lit(1)).as("n"))
+      .agg(max("n")).as[Long].head()
+    assert(maxBucket < 60, s"widest LSH block $maxBucket of 200")
+  }
+
+  test("oversized blocks are dropped by maxItemsPerBlock before the pair join") {
+    val got = Dedup.embeddingNearDup(wideEmbs, threshold = 0.99,
+      blockCol = Some("label"), maxItemsPerBlock = 100L)
+      .collect()
+    assert(got.isEmpty) // the single 200-row label block exceeds the cap
+  }
+
+  test("verifiedJaccard on LSH candidates equals exact all-pairs jaccard") {
+    val exact = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "n_common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val viaMinhash = Dedup.verifiedJaccard(docs,
+      Dedup.minhashLsh(docs, k = 16, bands = 4, minEstimate = 0.5), threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val viaSimhash = Dedup.verifiedJaccard(docs,
+      Dedup.simhashPairs(docs, maxDist = 10), threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaMinhash == exact)
+    assert(viaSimhash == exact)
   }
 }
