@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair set — the resolution step
+  * that turns near-dup PAIRS (Dedup.ngramJaccard / minhashLsh /
+  * simhashPairs output) into canonical keep-sets: every document maps to
+  * the smallest doc id reachable through the duplicate relation.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+  * standard shuffle-bounded formulation at 10^11-edge scale:
+  *
+  *  - large-star: every neighbor v > u re-attaches to m = min(Γ⁺(u));
+  *  - small-star: every neighbor v <= u (and u itself) re-attaches to m.
+  *
+  * Each half-round is a groupBy(u).min + an equi-join back on u — the
+  * join key equals the aggregation key, so the min table reuses the
+  * groupBy's shuffle partitioning (no extra exchange; AQE broadcasts it
+  * when small). No per-node neighbor lists are materialized (a
+  * collect_list formulation would OOM on the star root, which accumulates
+  * its whole component), and convergence is O(log n) rounds independent
+  * of component diameter — unlike min-label propagation, whose round
+  * count on a 100 TB duplicate CHAIN is the chain length. `maxIter`
+  * bounds the loop, a (count, hash-sum) signature detects the fixpoint,
+  * and `localCheckpoint` truncates lineage each round (the same reason
+  * GraphX checkpoints inside Pregel).
+  */
+object ConnectedComponents {
+
+  /** @param pairs undirected edges, two columns (defaults id_a/id_b);
+    *              self-loops and duplicate edges are tolerated
+    * @return (id, component) — one row per distinct node in `pairs`,
+    *         component = min node id of its connected component */
+  def resolve(pairs: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    // symmetrize once; edges keep BOTH directions so Γ(u) is one groupBy
+    var edges = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(pairs.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    def starStep(es: DataFrame, large: Boolean): DataFrame = {
+      val mins = es.groupBy("u").agg(min("v").as("minv"))
+        .select(col("u"), least(col("u"), col("minv")).as("m"))
+      val joined = es.join(mins, Seq("u"))
+      val emitted =
+        if (large)
+          joined.filter(col("v") > col("u"))
+            .select(col("v").as("x"), col("m").as("y"))
+        else
+          joined.filter(col("v") <= col("u"))
+            .select(col("v").as("x"), col("m").as("y"))
+            .union(mins.select(col("u").as("x"), col("m").as("y")))
+      val dedup = emitted.filter(col("x") =!= col("y"))
+      dedup.select(col("x").as("u"), col("y").as("v"))
+        .union(dedup.select(col("y").as("u"), col("x").as("v")))
+        .distinct()
+    }
+
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df
+        .agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      edges = starStep(starStep(edges, large = true), large = false).localCheckpoint()
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
+      iter += 1
+    }
+
+    // at the fixpoint the graph is a union of depth-1 stars rooted at
+    // component minima: component(u) = min(u, min(Γ(u)))
+    val nodes = pairs.select(col(srcCol).as("id"))
+      .union(pairs.select(col(dstCol).as("id"))).distinct()
+    nodes.join(edges.groupBy("u").agg(min("v").as("m")),
+        nodes("id") === col("u"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("m"), col("id"))).as("component"))
+  }
+}

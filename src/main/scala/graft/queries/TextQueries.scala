@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.Dedup
+import graft.operators.{ConnectedComponents, Dedup}
 
 /** Text-analysis + deduplication battery over the `documents` table —
   * the beyond-reference training-data-pipeline operators.
@@ -108,6 +108,25 @@ object TextQueries {
       .select(col("doc_id"), T.rollingFingerprintCheck(col("text")).as("consistent"))
       .orderBy("doc_id")
 
+  /** Near-dup cluster resolution: q34's pair set → connected components
+    * (large-star/small-star) → every document mapped to the smallest doc
+    * id in its duplicate cluster (singletons map to themselves) — the
+    * step that makes pairwise dedup output usable downstream: "keep row
+    * iff doc_id == component". Oracle: DuckDB recursive CTE computing
+    * min-reachable-id over the same exact-Jaccard edges. */
+  def q44DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    val comp = ConnectedComponents.resolve(pairs)
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q30_lang_id" -> (q30LangId _),
     "q31_quality_score" -> (q31Quality _),
@@ -117,6 +136,7 @@ object TextQueries {
     "q35_minhash_lsh" -> (q35MinhashLsh _),
     "q36_simhash_pairs" -> (q36Simhash _),
     "q37_rolling_fingerprint" -> (q37RollingFingerprint _),
+    "q44_dedup_clusters" -> (q44DedupClusters _),
   )
 
   private def hitsSql(langList: String): String =
@@ -168,6 +188,26 @@ object TextQueries {
     "q36_simhash_pairs" -> exactJaccardSql,
     "q37_rolling_fingerprint" ->
       "SELECT doc_id, true AS consistent FROM documents ORDER BY doc_id",
+    "q44_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |  FROM docs WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY id_a, id_b),
+        |jac AS (SELECT id_a, id_b
+        |  FROM cand JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM jac
+        |  UNION ALL SELECT id_b AS u, id_a AS v FROM jac),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+        |SELECT id AS doc_id, min(r) AS component FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
   )
 
   private lazy val exactJaccardSql: String =
