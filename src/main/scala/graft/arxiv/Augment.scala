@@ -15,8 +15,9 @@ object Augment {
   /** Side-input acquisition boundary. The reference calls
     * api.crossref.org per DOI at ~2.4 rows/s (`augmentations.py:10-57`);
     * semantically it is a left join of article × (doi → type, n_cites,
-    * journal_issn). Production impls can rate-limit inside
-    * `mapPartitions`; tests use [[FixtureEnricher]]. */
+    * journal_issn). [[CheckpointedEnricher]] is the production shape
+    * (rate-limited `mapPartitions` + per-batch checkpoint/resume);
+    * [[FixtureEnricher]] joins a local table for tests. */
   trait Enricher {
     /** @return (doi, type, n_cites, journal_issn) */
     def lookup(dois: DataFrame): DataFrame
