@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming twins of the batch event queries (q25/q27):
   * the same logical transforms lifted onto an unbounded source, plus a
@@ -85,4 +85,37 @@ object EventStreams {
           }
       }
   }
+
+  /** RocksDB state store for large stateful queries: keeps per-key state
+    * off-heap on local disk instead of the executor heap — at 100 TB a
+    * sessionizer's state (every open session) dwarfs executor memory;
+    * HDFS-backed in-memory state OOMs where RocksDB spills. Changelog
+    * checkpointing ships only per-batch deltas to the checkpoint dir.
+    * Apply to the session BEFORE starting stateful queries. */
+  val rocksDbStateStoreConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
+  /** Exactly-once parquet sink via foreachBatch: micro-batch `b` lands in
+    * `targetDir/batch_id=b` with OVERWRITE. Structured Streaming replays
+    * an uncommitted batch after a crash with the SAME batch id, so the
+    * retry overwrites the partial directory instead of appending next to
+    * it — writes become idempotent on (batchId), which upgrades the
+    * at-least-once foreachBatch contract to exactly-once observable
+    * output. This is the plain-parquet equivalent of a transactional
+    * sink's MERGE-on-key upsert; readers see the target as one
+    * batch_id-partitioned parquet table. */
+  def exactlyOnceParquetSink(out: DataFrame, targetDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$targetDir/batch_id=$batchId")
+        ()
+      }
+      .start()
 }

@@ -7,6 +7,17 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.streaming.EventStreams.Event
 
+/** One-shot failure injection for the exactly-once test: the first
+  * evaluation after arm() throws, failing the in-flight micro-batch. */
+object CrashOnce {
+  private val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def arm(): Unit = armed.set(true)
+  val udf = org.apache.spark.sql.functions.udf { (_: Long) =>
+    if (armed.compareAndSet(true, false)) throw new RuntimeException("injected crash")
+    true
+  }
+}
+
 class EventStreamsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -76,6 +87,94 @@ class EventStreamsSpec extends SparkSpec {
     q2.stop()
     assert(spark.read.parquet(s"$tmp/out")
       .filter(col("event_type") =!= "flush").count() == 2)
+  }
+
+  test("exactly-once sink: batch replay after a mid-batch crash leaves no duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("stream-eo").toString
+    val target = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0))
+
+    // first run: a crash injected into the batch lineage fails the query
+    // mid-batch (foreachBatch is at-least-once: the batch will be REPLAYED
+    // with the same id on restart)
+    CrashOnce.arm()
+    val agg1 = EventStreams.tumblingCounts(mem.toDF(), watermark = "0 seconds")
+      .filter(CrashOnce.udf(col("n")))
+    val q1 = EventStreams.exactlyOnceParquetSink(agg1, target, ckpt)
+    mem.addData(Event(99, ts(600), 9, "flush", 0.0)) // advance watermark
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+
+    // simulate the crashed batch's partial output: plant a bogus duplicate
+    // row in the batch directory the restart must overwrite
+    val commits = new java.io.File(s"$ckpt/commits").list()
+    val failedBatch =
+      if (commits == null || commits.isEmpty) 0L
+      else commits.filter(_.forall(_.isDigit)).map(_.toLong).max + 1
+    Seq(("1970-01-01 00:00:00", "click", 999L, 999.0))
+      .toDF("hour_start", "event_type", "n", "sum_value")
+      .selectExpr("CAST(hour_start AS TIMESTAMP) AS hour_start",
+        "event_type", "n", "sum_value")
+      .write.mode("overwrite").parquet(s"$target/batch_id=$failedBatch")
+
+    // restart from the checkpoint with the crash disarmed: the failed
+    // batch replays under the SAME id, overwriting the partial directory
+    val agg2 = EventStreams.tumblingCounts(mem.toDF(), watermark = "0 seconds")
+      .filter(CrashOnce.udf(col("n")))
+    val q2 = EventStreams.exactlyOnceParquetSink(agg2, target, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val back = spark.read.parquet(target)
+      .filter(col("event_type") =!= "flush")
+      .orderBy("hour_start", "event_type")
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(back == Seq(("click", 2L, 3.0), ("view", 1L, 3.0)),
+      s"expected exactly-once output, got $back")
+  }
+
+  test("sessionizer runs on the RocksDB state store (100 TB state path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = EventStreams.rocksDbStateStoreConf.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventStreams.rocksDbStateStoreConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val mem = MemoryStream[Event]
+      mem.addData(
+        Event(1, ts(0), 1, "a", 1.0),
+        Event(2, ts(10), 1, "a", 2.0),
+        Event(4, ts(5), 2, "b", 5.0))
+      val q = EventStreams.sessionize(mem.toDS(), watermarkDelay = "0 seconds")
+        .writeStream.outputMode("append").format("memory").queryName("rocksdb_sessions")
+        .start()
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(600), 9, "flush", 0.0))
+      q.processAllAvailable()
+      // the state operator must actually be running on RocksDB
+      val metrics = q.lastProgress.stateOperators.headOption
+        .map(_.customMetrics.keySet())
+      q.stop()
+      assert(metrics.exists(_.toString.contains("rocksdb")),
+        s"state operator metrics $metrics carry no rocksdb counters")
+      val got = spark.table("rocksdb_sessions")
+        .as[EventStreams.SessionOut].collect().toSeq
+        .sortBy(s => (s.user_id, s.session_start.getTime))
+      assert(got == Seq(
+        EventStreams.SessionOut(1L, ts(0), 2, 3.0),
+        EventStreams.SessionOut(2L, ts(5), 1, 5.0)))
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
   }
 
   test("stateful sessionizer closes sessions on the inactivity gap") {
