@@ -56,6 +56,46 @@ object GraphMirror {
     edges.filter(col("label") === "COAUTHORS" &&
       (col("src") === authorId || col("dst") === authorId))
 
+  /** G3 (analytical_queries.ipynb cells 57-59): 2-hop ego network via
+    * AUTHORED, literal Cypher orientation — for each of the ego's
+    * articles, the collected coauthors. `withEgo=false` is cell 59's
+    * `WHERE coauthor <> author`: the ego is excluded from the collect,
+    * and a solo-authored article disappears entirely (the Cypher MATCH
+    * finds no coauthor row to return — inner-join semantics, preserved
+    * by filtering before the groupBy). */
+  def egoArticleCoauthors(t: ArxivTables, authorId: String,
+      withEgo: Boolean = true): DataFrame = {
+    val egoArticles = t.authorship.filter(col("author_id") === authorId)
+      .select("article_id")
+    val hop2 = t.authorship
+      .join(egoArticles, Seq("article_id"), "left_semi")
+    val filtered = if (withEgo) hop2 else hop2.filter(col("author_id") =!= authorId)
+    filtered
+      .join(t.article.select("article_id", "title", "year"), Seq("article_id"))
+      .groupBy("article_id", "title", "year")
+      .agg(sort_array(collect_list(col("author_id"))).as("coauthors"),
+        count(lit(1)).as("n_coauthors"))
+      .orderBy("article_id")
+  }
+
+  /** G3, per-coauthor orientation (the cell-59 StackOverflow framing:
+    * "which coauthors share the most articles with the ego"): coauthor →
+    * collect_list(struct(article)) + shared count, strongest ties first. */
+  def egoCoauthorArticles(t: ArxivTables, authorId: String): DataFrame = {
+    val egoArticles = t.authorship.filter(col("author_id") === authorId)
+      .select("article_id")
+    t.authorship
+      .join(egoArticles, Seq("article_id"), "left_semi")
+      .filter(col("author_id") =!= authorId)
+      .join(t.article.select("article_id", "title", "year"), Seq("article_id"))
+      .groupBy(col("author_id").as("coauthor_id"))
+      .agg(
+        sort_array(collect_list(struct(col("article_id"), col("title"), col("year"))))
+          .as("shared_articles"),
+        count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("coauthor_id"))
+  }
+
   /** G4: articles published in a journal by title (README.md:318-322). */
   def articlesInJournal(t: ArxivTables, title: String): DataFrame =
     t.article.join(

@@ -38,28 +38,33 @@ object AsOfJoin {
       s"rightCols destinations collide with left columns: ${collisions.mkString(", ")} " +
         "(withColumn would silently overwrite the left payload)")
     val leftCols = left.columns.filterNot(on.contains).filterNot(_ == leftTs)
+    // The whole right payload travels as ONE struct carried by ONE
+    // last(ignoreNulls): per-column carries would mix values from
+    // different right rows whenever the winning row holds a NULL in one
+    // payload column (last skips the NULL and reaches into an older row).
+    val dsts = rightCols.toSeq.sortBy(_._2)
+    val rStruct = struct(dsts.map { case (src, dst) => col(src).as(dst) }: _*)
+    val rStructType = right.select(rStruct.as("__r")).schema("__r").dataType
     val l = left.select(
       (on.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__is_l")) ++
-        leftCols.map(col) ++
-        rightCols.values.map(v => lit(null).as(s"__r_$v")): _*)
+        leftCols.map(col) :+ lit(null).cast(rStructType).as("__r"): _*)
     val r = right.select(
       (on.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__is_l")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map { case (src, dst) => col(src).as(s"__r_$dst") }: _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rStruct.as("__r"): _*)
     // Tie-break beyond (__ts, __is_l): multiple right rows sharing
     // (key, ts) would otherwise carry a partitioning-dependent payload.
-    // Ordering by the payload columns themselves makes the carried value
+    // Ordering by the payload struct makes the carried value
     // deterministic — the greatest payload tuple at the shared timestamp
     // wins (documented semantics, independent of run/partition layout).
-    val tiebreak = rightCols.values.toSeq.sorted.map(v => col(s"__r_$v"))
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__ts") +: col("__is_l") +: tiebreak: _*)
+      .orderBy(col("__ts"), col("__is_l"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.values.foldLeft(l.unionByName(r)) { (df, v) =>
-      df.withColumn(v, last(col(s"__r_$v"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("__rc", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__is_l") === 1)
       .select((on.map(col) :+ col("__ts").as(leftTs)) ++
-        leftCols.map(col) ++ rightCols.values.map(col): _*)
+        leftCols.map(col) ++
+        dsts.map { case (_, dst) => col("__rc").getField(dst).as(dst) }: _*)
   }
 }

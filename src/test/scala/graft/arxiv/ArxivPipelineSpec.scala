@@ -145,4 +145,30 @@ class ArxivPipelineSpec extends SparkSpec {
     assert(GraphMirror.articlesInSubdomain(gold, "LG", 20)
       .select("article_id").as[String].collect().toSeq == Seq("a1"))
   }
+
+  test("G3 ego network: per-article coauthor collect, with and without ego") {
+    // SramekJ authored a1 (with MollerA) and a2 (solo)
+    val withEgo = GraphMirror.egoArticleCoauthors(gold, "SramekJ")
+      .select("article_id", "coauthors", "n_coauthors")
+      .as[(String, Seq[String], Long)].collect().toSeq
+    assert(withEgo == Seq(
+      ("a1", Seq("MollerA", "SramekJ"), 2L),
+      ("a2", Seq("SramekJ"), 1L)))
+    // cell 59 semantics: ego excluded AND the solo article vanishes
+    // (no coauthor row survives the MATCH)
+    val withoutEgo = GraphMirror.egoArticleCoauthors(gold, "SramekJ", withEgo = false)
+      .select("article_id", "coauthors", "n_coauthors")
+      .as[(String, Seq[String], Long)].collect().toSeq
+    assert(withoutEgo == Seq(("a1", Seq("MollerA"), 1L)))
+  }
+
+  test("G3 ego network: per-coauthor article structs ranked by shared count") {
+    val got = GraphMirror.egoCoauthorArticles(gold, "SramekJ")
+      .select("coauthor_id", "n_shared").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("MollerA", 1L)))
+    val arts = GraphMirror.egoCoauthorArticles(gold, "SramekJ")
+      .selectExpr("shared_articles[0].article_id", "shared_articles[0].year")
+      .as[(String, Int)].head()
+    assert(arts == (("a1", 2019)))
+  }
 }

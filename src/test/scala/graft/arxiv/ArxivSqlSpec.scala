@@ -96,6 +96,11 @@ class ArxivSqlSpec extends AnyFunSuite {
         author, authorship, articles, k = Some(kTop)))
       assert(rows(q4Df) == q4Builder && q4Builder.nonEmpty)
     } finally {
+      // evict the extension session from the default/active slots even
+      // when there was no previous session to restore (ADVICE r2 —
+      // otherwise later suites' getOrCreate silently reuses it)
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
     }

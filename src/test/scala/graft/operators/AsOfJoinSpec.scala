@@ -41,4 +41,22 @@ class AsOfJoinSpec extends SparkSpec {
       Map("v" -> "mv"))
     assert(got.count() == 2)
   }
+
+  test("carried payload always comes from ONE right row, even with NULL fields") {
+    // Two right rows at the same (key, ts). The tie-break struct compares
+    // (m_qty, m_src) — dst-name order — so (7, NULL) beats (6, 'x'). A
+    // per-column carry would skip the winner's NULL src and reach into
+    // the loser, delivering (7, 'x'): a row that never existed. The
+    // struct carry must deliver the winner verbatim: (7, NULL).
+    val left = Seq((1L, ts(20), "probe")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(10), Some("x"), 6),
+      (1L, ts(10), None: Option[String], 7),
+    ).toDF("user_id", "ts", "src", "qty")
+    val got = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "ts",
+        Map("src" -> "m_src", "qty" -> "m_qty"))
+      .select("m_qty", "m_src")
+      .as[(Int, Option[String])].head()
+    assert(got == ((7, None)), s"payload mixed across right rows: $got")
+  }
 }

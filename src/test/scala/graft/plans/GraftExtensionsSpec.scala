@@ -97,6 +97,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
           Option(r.getAs[Integer]("m")).map(_.intValue))).toSet
       assert(gotN == plain)
     } finally {
+      // plainSpark shares the JVM-wide SparkContext, so it must not be
+      // stop()ed — but it MUST be evicted from the default/active slots:
+      // if prevDefault was None, a bare foreach-restore would leave the
+      // extension-less session as the JVM default and later suites'
+      // getOrCreate would silently reuse it (ADVICE r2).
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
     }
