@@ -38,4 +38,36 @@ object CoOccur {
       .agg(count(lit(1)).as("shared_keys"))
       .filter(col("shared_keys") >= minShared)
   }
+
+  /** Same contract as [[pairs]] (with the bound REQUIRED), formulated as
+    * per-key pair explosion instead of a self-join: collect the bounded,
+    * sorted item set per key and emit only the a<b combinations directly
+    * — S(S−1)/2 rows outright instead of the join's S² candidates, and
+    * one fewer exchange.
+    *
+    * MEASURED SLOWER than [[pairs]] despite the nicer row count: 3.6 s vs
+    * 1.95 s warm p50 on sf0.1 lineitem (499,500 pairs, identical output).
+    * collect_list + the nested transform/slice/flatten fall out of
+    * whole-stage codegen, while the self-join stays in codegen'd hash
+    * join + partial aggregation. Kept as the measured alternative (and
+    * the shape to revisit if per-key arrays ever become the input format
+    * upstream); q21 uses [[pairs]]. */
+  def pairsViaGroups(df: DataFrame, keyCol: String, itemCol: String,
+      minShared: Long = 1L, maxItemsPerKey: Long = 64L): DataFrame = {
+    require(maxItemsPerKey > 0, "pairsViaGroups needs a positive maxItemsPerKey " +
+      "(the per-key collect_list is only safe bounded); use pairs() for unbounded")
+    val distinctPairs = df.select(col(keyCol).as("key"), col(itemCol).as("item")).distinct()
+    val grouped = distinctPairs.groupBy("key")
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .filter(size(col("items")) <= maxItemsPerKey)
+    grouped
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1),
+          |    y -> struct(x AS item_a, y AS item_b))))""".stripMargin)).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("shared_keys"))
+      .filter(col("shared_keys") >= minShared)
+  }
 }

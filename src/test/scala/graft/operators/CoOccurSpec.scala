@@ -37,6 +37,20 @@ class CoOccurSpec extends SparkSpec {
     assert(got == Set((2, 3, 2L)))
   }
 
+  test("pairsViaGroups is pair-for-pair identical to the self-join form") {
+    // same fixture, bound active (hot key dropped) and minShared applied:
+    // both formulations must agree on the exact multiset
+    def run(fn: (org.apache.spark.sql.DataFrame, String, String, Long, Long) =>
+        org.apache.spark.sql.DataFrame) =
+      fn(df, "k", "item", 1L, 4L).as[(Int, Int, Long)].collect().toSet
+    assert(run(CoOccur.pairs) == run(CoOccur.pairsViaGroups))
+    assert(run(CoOccur.pairsViaGroups) == Set((1, 2, 1L), (1, 3, 1L), (2, 3, 2L)))
+    // unbounded request is a contract violation for the grouped form
+    intercept[IllegalArgumentException] {
+      CoOccur.pairsViaGroups(df, "k", "item", 1L, 0L)
+    }
+  }
+
   test("q21's cap=64 is inert on the fixture (capped == uncapped)") {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_partkey", "l_suppkey")
