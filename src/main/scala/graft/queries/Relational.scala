@@ -415,11 +415,37 @@ object Relational {
         col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** Range join (custom operator — see operators.RangeJoin): low-priority
+    * orders placed inside any urgent order's 7-day window, with the count
+    * of covering windows. The bucketed equi-join formulation replaces the
+    * O(n·m) BroadcastNestedLoop Spark would plan for the raw BETWEEN
+    * predicate; the DuckDB oracle runs the literal inequality join
+    * (its IEJoin handles that natively at oracle scale). */
+  def q45RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val orders = Tables.orders(s, d)
+    val points = orders.filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_orderkey").as("point_key"),
+        col("o_orderdate").as("point_date"),
+        datediff(col("o_orderdate"), epoch).as("p_day"))
+    val windows = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(datediff(col("o_orderdate"), epoch).as("w_start"),
+        (datediff(col("o_orderdate"), epoch) + lit(6)).as("w_end"))
+    graft.operators.RangeJoin.pointInInterval(
+      points, windows, "p_day", "w_start", "w_end", width = 7L)
+      .groupBy("point_key", "point_date")
+      .agg(count(lit(1)).as("n_windows"))
+      .select(col("point_key"), date_format(col("point_date"), "yyyy-MM-dd").as("order_date"),
+        col("n_windows"))
+      .orderBy("point_key")
+  }
+
   val all: Map[String, Q] = Map(
     "q28_pivot" -> (q28Pivot _),
     "q29_rollup" -> (q29Rollup _),
     "q42_asof_join" -> (q42AsOf _),
     "q43_session_window" -> (q43SessionWindow _),
+    "q45_range_join" -> (q45RangeJoin _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_agg" -> (q03JoinAgg _),
@@ -476,6 +502,16 @@ object Relational {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  count(*) AS n_events, round(sum(value),2) AS session_value
         |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q45_range_join" ->
+      """SELECT p.o_orderkey AS point_key,
+        |strftime(p.o_orderdate, '%Y-%m-%d') AS order_date,
+        |count(*) AS n_windows
+        |FROM (SELECT * FROM orders WHERE o_orderpriority = '5-LOW') p
+        |JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') w
+        |  ON p.o_orderdate >= w.o_orderdate
+        | AND p.o_orderdate <= w.o_orderdate + INTERVAL 6 DAY
+        |GROUP BY point_key, order_date
+        |ORDER BY point_key""".stripMargin,
     "q28_pivot" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
         |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
