@@ -105,6 +105,25 @@ object Multimodal {
     })
   }
 
+  /** REAL metadata probe (no stub): parse width/height out of the payload
+    * bytes themselves via container-header parsing
+    * ([[graft.functions.ImageHeaders]] — PNG IHDR, JPEG SOF marker scan,
+    * GIF logical screen). Image rows whose payload parses get their meta
+    * replaced by ground truth; unparseable or non-image rows keep the
+    * supplied meta. Same narrow batched shape as the stubs — only pixel
+    * DECODE still needs a codec library. */
+  def probeImageMeta(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize)(_.map { m =>
+      if (m.kind != "image") m
+      else graft.functions.ImageHeaders.dimensions(m.bytes) match {
+        case Some(d) => m.copy(meta = m.meta.copy(
+          width = Some(d.width), height = Some(d.height)))
+        case None => m
+      }
+    })
+  }
+
   /** Demo media table derived from the documents fixture (payload = utf-8
     * bytes), so the plumbing runs against real testdata shapes. */
   def mediaFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {

@@ -42,6 +42,52 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_ms).toSeq == Seq(0, 25, 50, 75))
   }
 
+  // Minimal but REAL container headers, per-spec byte layouts.
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = Array[Byte](0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+      (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
+      8, 2, 0, 0, 0)
+    sig ++ ihdr
+  }
+  private def jpegBytes(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++                 // SOI
+      Array[Byte](0xff.toByte, 0xe0.toByte, 0, 4, 'J', 'F') ++ // APP0 (len 4)
+      Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8,        // SOF0, precision
+        (h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte, 1, 0)
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte, 0, 0, 0)
+
+  test("image header parsing reads real PNG/JPEG/GIF dimensions") {
+    import graft.functions.ImageHeaders
+    assert(ImageHeaders.dimensions(pngBytes(640, 480))
+      .contains(ImageHeaders.Dims("png", 640, 480)))
+    assert(ImageHeaders.dimensions(jpegBytes(1024, 768))
+      .contains(ImageHeaders.Dims("jpeg", 1024, 768)))
+    assert(ImageHeaders.dimensions(gifBytes(320, 200))
+      .contains(ImageHeaders.Dims("gif", 320, 200)))
+    // truncated and garbage payloads: None, never an exception
+    assert(ImageHeaders.dimensions(pngBytes(640, 480).take(20)).isEmpty)
+    assert(ImageHeaders.dimensions("not an image".getBytes).isEmpty)
+    assert(ImageHeaders.dimensions(Array.emptyByteArray).isEmpty)
+  }
+
+  test("probeImageMeta overwrites planted meta with parsed ground truth") {
+    val withHeaders = Seq(
+      MediaRow(10L, "image", pngBytes(640, 480), MediaMeta(Some(1), Some(1), None, None)),
+      MediaRow(11L, "image", jpegBytes(1024, 768), MediaMeta(None, None, None, None)),
+      MediaRow(12L, "image", "garbage".getBytes, MediaMeta(Some(7), Some(7), None, None)),
+      MediaRow(13L, "audio", pngBytes(9, 9), MediaMeta(None, None, Some(44100), None)),
+    ).toDS()
+    val got = probeImageMeta(withHeaders).collect().map(m => m.media_id -> m.meta).toMap
+    assert(got(10L) == MediaMeta(Some(640), Some(480), None, None))
+    assert(got(11L) == MediaMeta(Some(1024), Some(768), None, None))
+    assert(got(12L) == MediaMeta(Some(7), Some(7), None, None))   // unparseable: kept
+    assert(got(13L) == MediaMeta(None, None, Some(44100), None)) // non-image: untouched
+  }
+
   test("documents-derived media table has the declared schema") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val m = mediaFromDocuments(spark, docs)
