@@ -86,6 +86,41 @@ object EventStreams {
       }
   }
 
+  /** Streaming deduplication with bounded state: duplicate event ids are
+    * dropped across micro-batches, and the watermark lets Spark EVICT ids
+    * older than the delay from the dedup state — without it the id set
+    * grows forever, the classic unbounded-state bug. The training-data
+    * twin of exact dedup (q33) for the ingest path: at-least-once sources
+    * (Kafka replays, retried batches) become exactly-once rows. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each purchase paired with the same
+    * user's clicks in the preceding `lookback` — the streaming analogue
+    * of the as-of/range family (q42/q45). Both sides are watermarked and
+    * the join condition bounds the time skew, which is what lets Spark
+    * bound BOTH join-state buffers (unbounded-condition stream joins
+    * grow state forever). Inner join → append mode. */
+  def clickPurchaseJoin(events: DataFrame, lookback: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"))
+      .select("purchase_id", "user_id", "purchase_ts", "purchase_value",
+        "click_ts", "click_value")
+  }
+
   /** RocksDB state store for large stateful queries: keeps per-key state
     * off-heap on local disk instead of the executor heap — at 100 TB a
     * sessionizer's state (every open session) dwarfs executor memory;

@@ -89,6 +89,47 @@ class EventStreamsSpec extends SparkSpec {
       .filter(col("event_type") =!= "flush").count() == 2)
   }
 
+  test("streaming dedup drops replayed event ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(mem.toDF(), watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .start()
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "click", 2.0),
+      Event(1, ts(0), 1, "click", 1.0)) // in-batch duplicate
+    q.processAllAvailable()
+    // replay of event 2 in a LATER micro-batch (an at-least-once source
+    // redelivering) — state must still remember it
+    mem.addData(Event(2, ts(1), 1, "click", 2.0), Event(3, ts(2), 2, "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L), s"duplicates survived: $got")
+  }
+
+  test("stream-stream interval join pairs purchases with recent clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.clickPurchaseJoin(mem.toDF(), lookback = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin_out")
+      .start()
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),   // 40 min before purchase → outside
+      Event(2, ts(25), 1, "click", 2.0),  // 15 min before → inside
+      Event(3, ts(35), 1, "click", 3.0),  // 5 min before → inside
+      Event(4, ts(40), 1, "purchase", 9.0),
+      Event(5, ts(30), 2, "click", 4.0),  // other user
+      Event(6, ts(50), 1, "click", 5.0))  // AFTER the purchase → excluded
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin_out")
+      .select("purchase_id", "click_value").as[(Long, Double)].collect().toSet
+    assert(got == Set((4L, 2.0), (4L, 3.0)), s"wrong click set: $got")
+  }
+
   test("exactly-once sink: batch replay after a mid-batch crash leaves no duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("stream-eo").toString
