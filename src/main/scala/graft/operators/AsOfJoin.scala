@@ -67,4 +67,41 @@ object AsOfJoin {
         leftCols.map(col) ++
         dsts.map { case (_, dst) => col("__rc").getField(dst).as(dst) }: _*)
   }
+
+  /** [[backward]] planned through the dedicated physical operator
+    * ([[graft.plans.AsOfJoinExec]]): same contract, same deterministic
+    * greatest-payload tie-break, but executed as a per-partition
+    * streaming merge with O(1) carried state instead of the union +
+    * window. Self-registers the planner strategy, so it works in any
+    * session (GraftExtensions also injects it). Output column order:
+    * left columns, then payload destinations sorted by name. */
+  def backwardExec(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTs: String, rightTs: String,
+      rightCols: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val collisions = rightCols.values.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightCols destinations collide with left columns: ${collisions.mkString(", ")}")
+    val spark = left.sparkSession
+    DatasetBridge.ensureStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val dsts = rightCols.toSeq.sortBy(_._2)
+    // every right column goes through an Alias: a fresh exprId per column
+    // breaks any lineage shared with the left side (same-source as-of
+    // joins would otherwise carry conflicting attribute ids into the
+    // custom node, which the analyzer's dedup pass does not rewrite)
+    val rightSel = right.select(
+      (on.map(k => col(k).as(k)) :+ col(rightTs).as("__rts")) ++
+        dsts.map { case (src, d) => col(src).as(d) }: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightSel.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      on.map(attr(lPlan, _)), on.map(attr(rPlan, _)),
+      attr(lPlan, leftTs), attr(rPlan, "__rts"),
+      dsts.map { case (_, d) => attr(rPlan, d) })
+    DatasetBridge.ofRows(spark, node)
+  }
 }

@@ -20,6 +20,7 @@ import graft.functions.TransliterateExpr
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPostHocResolutionRule(_ => ArgmaxRewriteRule)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier("transliterate"),
       new ExpressionInfo(classOf[TransliterateExpr].getName, "transliterate"),

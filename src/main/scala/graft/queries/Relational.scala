@@ -440,12 +440,34 @@ object Relational {
       .orderBy("point_key")
   }
 
+  /** q42 through the dedicated physical operator
+    * ([[graft.plans.AsOfJoinExec]]: custom LogicalPlan + Strategy +
+    * per-partition merge exec) instead of the composed window — same
+    * DuckDB ASOF oracle, so the custom-Catalyst path sits under the same
+    * correctness gate as everything else. */
+  def q46AsOfExec(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    graft.operators.AsOfJoin.backwardExec(
+      purchases, clicks, on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      rightCols = Map("ts" -> "click_ts", "value" -> "click_value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), TS).as("purchase_ts"),
+        date_format(col("click_ts"), TS).as("click_ts"),
+        round(col("click_value"), 2).as("click_value"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q28_pivot" -> (q28Pivot _),
     "q29_rollup" -> (q29Rollup _),
     "q42_asof_join" -> (q42AsOf _),
     "q43_session_window" -> (q43SessionWindow _),
     "q45_range_join" -> (q45RangeJoin _),
+    "q46_asof_exec" -> (q46AsOfExec _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_agg" -> (q03JoinAgg _),
@@ -477,15 +499,10 @@ object Relational {
 
   /** DuckDB twins. Same column names, same ORDER BY, same rounding. */
   val oracle: Map[String, String] = Map(
-    "q42_asof_join" ->
-      """SELECT p.event_id, p.user_id,
-        |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-        |strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
-        |round(c.value, 2) AS click_value
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin,
+    "q42_asof_join" -> asofOracleSql,
+    // q46 runs the same semantics through the custom physical operator;
+    // the oracle is identical by design
+    "q46_asof_exec" -> asofOracleSql,
     "q43_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
@@ -694,4 +711,15 @@ object Relational {
         |  count(*) AS n_events, round(sum(value),2) AS session_value
         |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
   )
+
+  /** Shared by q42 (composed form) and q46 (custom physical operator). */
+  private lazy val asofOracleSql: String =
+    """SELECT p.event_id, p.user_id,
+      |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |round(c.value, 2) AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
 }
