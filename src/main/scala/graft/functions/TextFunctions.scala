@@ -70,6 +70,28 @@ object TextFunctions {
     * key for exact dedup; portable across engines. */
   def contentFingerprint(text: Column): Column = md5(lower(text))
 
+  /** Deterministic hash bucket in [0, buckets) from an id column — the
+    * train/val/test splitter primitive. Built on md5 (portable: every
+    * engine hashes the same string to the same hex digits) instead of
+    * xxhash64 (engine-specific seed), so assignments are reproducible
+    * across engines, reruns, and cluster sizes — the property a split
+    * column must have: membership decided by the ROW, never by
+    * partitioning or sampling order. Two hex chars → 0..255, then mod. */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= 256, "buckets must be in 1..256")
+    val hex = md5(id.cast("string"))
+    def hv(i: Int): Column =
+      call_function("instr", lit("0123456789abcdef"), substring(hex, i, 1)) - lit(1)
+    (hv(1) * lit(16) + hv(2)) % lit(buckets)
+  }
+
+  /** 80/10/10 split label from [[hashBucket]] (buckets 0-79 train,
+    * 80-89 val, 90-99 test). */
+  def splitLabel(id: Column): Column = {
+    val b = hashBucket(id, 100)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
   /** Modulus for the rolling fingerprint: the Mersenne prime 2^31-1.
     * All intermediate products stay < 2^62, so ANSI overflow checks
     * never fire. */

@@ -34,6 +34,23 @@ object VectorFunctions {
   def cosineFromNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** Symmetric int8 quantization scale: max|x| / 127, floored at a tiny
+    * epsilon so the all-zero vector quantizes to zeros instead of NaN. */
+  def quantScale(v: Column): Column =
+    greatest(aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))),
+      lit(1e-30)) / lit(127.0)
+
+  /** Quantize a float vector to int8 range [-127, 127] given its scale —
+    * the 4× storage cut (and 8× vs double) that makes 10^9-vector
+    * corpora shippable; pair with [[dequantize]] and bound the error by
+    * scale/2 per component. Pure elementwise expressions, so a SQL twin
+    * reproduces every value bit-for-bit. */
+  def quantize(v: Column, scale: Column): Column =
+    transform(v, x => round(x.cast("double") / scale).cast("int"))
+
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** Deterministic random hyperplanes for sign-LSH (seeded; same planes on
     * every executor since they ship as literals in the plan). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

@@ -127,6 +127,18 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic 80/10/10 train/val/test split: membership is a pure
+    * function of doc_id (portable md5 arithmetic — see
+    * TextFunctions.hashBucket), never of partitioning or sample order, so
+    * the split is stable across engines, reruns, and cluster sizes.
+    * Output: per (source, split) doc and token counts. */
+  def q48TrainSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("split", T.splitLabel(col("doc_id")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(T.nTokens(col("text"))).as("n_tokens"))
+      .orderBy("source", "split")
+
   val all: Map[String, Q] = Map(
     "q30_lang_id" -> (q30LangId _),
     "q31_quality_score" -> (q31Quality _),
@@ -137,6 +149,7 @@ object TextQueries {
     "q36_simhash_pairs" -> (q36Simhash _),
     "q37_rolling_fingerprint" -> (q37RollingFingerprint _),
     "q44_dedup_clusters" -> (q44DedupClusters _),
+    "q48_train_split" -> (q48TrainSplit _),
   )
 
   private def hitsSql(langList: String): String =
@@ -208,6 +221,16 @@ object TextQueries {
         |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v)
         |SELECT id AS doc_id, min(r) AS component FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q48_train_split" ->
+      """WITH b AS (SELECT source, text,
+        |  ((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |   + instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100 AS bk
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
   )
 
   private lazy val exactJaccardSql: String =

@@ -58,11 +58,31 @@ object VectorQueries {
       k = 3, nCells = 8, nprobe = 2)
       .orderBy("query_id", "rn")
 
+  /** Symmetric int8 quantization of every embedding: per-vector scale,
+    * integer checksum, and the max reconstruction error (bounded by
+    * scale/2 per component) — the storage-reduction step a 10^9-vector
+    * corpus takes before indexing. Elementwise math only, so DuckDB
+    * reproduces every value. */
+  def q47EmbedQuantize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    e.select(col("vec_id"), col("embedding"), V.quantScale(col("embedding")).as("__s"))
+      .withColumn("q", V.quantize(col("embedding"), col("__s")))
+      .select(col("vec_id"),
+        round(col("__s"), 6).as("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("sum_q"),
+        round(aggregate(
+          zip_with(col("q"), col("embedding"),
+            (q, x) => abs(q.cast("double") * col("__s") - x.cast("double"))),
+          lit(0.0), (a, v) => greatest(a, v)), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q38_knn_bruteforce" -> (q38KnnBrute _),
     "q39_knn_lsh" -> (q39KnnLsh _),
     "q40_embed_neardup" -> (q40EmbedNearDup _),
     "q41_knn_ivf" -> (q41KnnIvf _),
+    "q47_embed_quantize" -> (q47EmbedQuantize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -93,6 +113,18 @@ object VectorQueries {
          |SELECT query_id, neighbor_id, cos, rn FROM ranked
          |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
     "q40_embed_neardup" -> Dedup.embeddingNearDupOracleSql(threshold = 0.3),
+    "q47_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS sc FROM e),
+        |q AS (SELECT vec_id, sc, v,
+        |  list_transform(v, x -> CAST(round(x / sc) AS INTEGER)) AS qv FROM s)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        |  round(list_max(list_transform(range(1, len(v) + 1),
+        |    i -> abs(qv[i] * sc - v[i]))), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q41_knn_ivf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

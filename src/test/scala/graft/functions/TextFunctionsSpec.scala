@@ -56,4 +56,28 @@ class TextFunctionsSpec extends SparkSpec {
       .as[Boolean].head()
     assert(got)
   }
+
+  test("hash bucket is deterministic, in range, and spread") {
+    val ids = (0L until 1000L).toDF("id")
+    val buckets = ids.select(T.hashBucket(col("id"), 100).as("b"))
+    val vals = buckets.as[Int].collect()
+    assert(vals.forall(b => b >= 0 && b < 100))
+    assert(vals.toSeq == ids.select(T.hashBucket(col("id"), 100)).as[Int].collect().toSeq)
+    // rough uniformity: all 100 buckets hit, none hogging
+    val byBucket = vals.groupBy(identity).view.mapValues(_.size)
+    assert(byBucket.size == 100 && byBucket.values.max <= 30)
+  }
+
+  test("split labels follow the 80/10/10 buckets and are id-stable") {
+    val df = (0L until 2000L).toDF("doc_id")
+      .select(col("doc_id"), T.splitLabel(col("doc_id")).as("split"))
+    val counts = df.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") * 5 && counts("train") > counts("test") * 5)
+    // a doc's split never depends on the rest of the dataset
+    val solo = Seq(42L).toDF("doc_id").select(T.splitLabel(col("doc_id"))).as[String].head()
+    val inFull = df.filter(col("doc_id") === 42L).select("split").as[String].head()
+    assert(solo == inFull)
+  }
 }

@@ -33,4 +33,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(buckets(0) == buckets(1))
     assert(buckets(0) != buckets(2))
   }
+
+  test("int8 quantize/dequantize bounds the error by scale/2 per component") {
+    val df = Seq(
+      (0L, Array(3.0f, -1.5f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // all-zero: no NaN, quantizes to zeros
+    ).toDF("vec_id", "embedding")
+    val got = df
+      .select(col("vec_id"), col("embedding"), V.quantScale(col("embedding")).as("s"))
+      .withColumn("q", V.quantize(col("embedding"), col("s")))
+      .withColumn("back", V.dequantize(col("q"), col("s")))
+      .select(col("vec_id"), col("s"), col("q"), col("back"))
+      .as[(Long, Double, Seq[Int], Seq[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, s0, q0, back0) = got(0L)
+    assert(q0.forall(q => q >= -127 && q <= 127))
+    assert(q0.head == 127) // max element pins the scale
+    back0.zip(Seq(3.0, -1.5, 0.25, 0.0)).foreach { case (b, x) =>
+      assert(math.abs(b - x) <= s0 / 2 + 1e-12, s"error ${math.abs(b - x)} > ${s0 / 2}")
+    }
+    val (_, _, q1, back1) = got(1L)
+    assert(q1.forall(_ == 0) && back1.forall(_ == 0.0))
+  }
 }
