@@ -78,11 +78,21 @@ object TextFunctions {
     * column must have: membership decided by the ROW, never by
     * partitioning or sampling order. Two hex chars → 0..255, then mod. */
   def hashBucket(id: Column, buckets: Int): Column = {
-    require(buckets > 0 && buckets <= 256, "buckets must be in 1..256")
+    require(buckets > 0 && buckets <= 4096, "buckets must be in 1..4096")
+    // 4 hex digits = 65536 values: the mod-`buckets` bias is <= 1/65536
+    // per bucket (2 digits mod 100 would skew a "10% split" to 9.4-8.4%).
     val hex = md5(id.cast("string"))
     def hv(i: Int): Column =
       call_function("instr", lit("0123456789abcdef"), substring(hex, i, 1)) - lit(1)
-    (hv(1) * lit(16) + hv(2)) % lit(buckets)
+    (((hv(1) * lit(16) + hv(2)) * lit(16) + hv(3)) * lit(16) + hv(4)) % lit(buckets)
+  }
+
+  /** DuckDB twin of [[hashBucket]] over a SQL id expression — kept HERE so
+    * the two can never drift apart. */
+  def hashBucketSql(id: String, buckets: Int): String = {
+    def hv(i: Int): String =
+      s"(instr('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), $i, 1)) - 1)"
+    s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)}) % $buckets"
   }
 
   /** 80/10/10 split label from [[hashBucket]] (buckets 0-79 train,
@@ -90,6 +100,35 @@ object TextFunctions {
   def splitLabel(id: Column): Column = {
     val b = hashBucket(id, 100)
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  /** PII patterns (naive but production-shaped: email, NANP-style phone,
+    * dotted-quad IP). Kept to syntax both Java regex and RE2 (DuckDB)
+    * interpret identically — no lookarounds, no \\p classes — so the SQL
+    * twin built from THESE SAME strings can't drift from the Spark path. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Per-pattern PII match count on the raw text (email matched before
+    * phone/ip, mirroring the scrub order). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** Redact PII in pattern order (email, then phone, then ipv4), each
+    * occurrence replaced by its `<KIND>` tag. Pure regexp_replace chain —
+    * codegen'd, no UDF, linear in text size. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (kind, p)) =>
+      regexp_replace(t, p, s"<${kind.toUpperCase}>")
+    }
+
+  /** Duplicate-token fraction (1 - distinct/total) — the cheapest of the
+    * Gopher-style repetition signals; per-row array math, no explode. */
+  def dupTokenFrac(text: Column): Column = {
+    val t = tokens(text)
+    round(lit(1.0) - size(array_distinct(t)) / size(t).cast("double"), 4)
   }
 
   /** Modulus for the rolling fingerprint: the Mersenne prime 2^31-1.

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deterministic mixture sampling: down- OR up-sample each stratum by a
+  * percentage rate, with membership decided per row by portable hash
+  * arithmetic — never by `rand()` or partition order, so the sampled
+  * corpus is identical across engines, reruns, and cluster sizes (the
+  * property `df.sample` does NOT have).
+  *
+  * A rate of 37 keeps ~37% of rows; a rate of 250 emits every row 2 times
+  * plus a third copy for a deterministic 50% of rows — the "epochs per
+  * source" mixture weighting a training run applies to high-value domains.
+  * Sampling is a narrow map (filter + bounded explode): no shuffle, no
+  * skew, safe at any scale.
+  */
+object Sampling {
+
+  /** Exact copy count for a row: `rate/100` guaranteed copies plus one
+    * extra iff the row's hash bucket falls below `rate % 100`. */
+  def copies(id: Column, ratePct: Column): Column =
+    floor(ratePct / lit(100)).cast("int") +
+      when(TextFunctions.hashBucket(id, 100) < pmod(ratePct, lit(100)), 1)
+        .otherwise(0)
+
+  /** Emit each row `copies(idCol, ratePct)` times (0 drops the row), with
+    * a 1-based `copy_idx` so downstream ordering stays deterministic. */
+  def resample(df: DataFrame, idCol: Column, ratePct: Column): DataFrame = {
+    val n = copies(idCol, ratePct)
+    df.withColumn("n_copies", n)
+      .where(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1), col("n_copies"))))
+      .drop("n_copies")
+  }
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Packing, Sampling}
+
+/** Training-data pipeline composition queries: chunking, contamination,
+  * PII scrub, mixture sampling, repetition filtering, sequence packing —
+  * the steps between "deduped corpus" (TextQueries) and "training run".
+  *
+  * Every query has an exact DuckDB twin; where a computation involves
+  * hashing, only portable md5 arithmetic reaches the output so the twin
+  * reproduces every value bit-for-bit.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Chunk window size / stride (tokens): 32-token windows every 24
+    * tokens — 8-token overlap so no span is split across chunk borders. */
+  val ChunkW = 32
+  val ChunkS = 24
+
+  /** Packing shard capacity (tokens). */
+  val PackCapacity = 256L
+
+  /** Context-window chunking: overlapping fixed-size token windows per
+    * document (the "split long docs for a 32-token context" step). A doc
+    * with n tokens yields 1 + ceil(max(n-W,0)/S) chunks; the final chunk
+    * is allowed to run short. Narrow per-row explode — no shuffle; chunk
+    * count per row is bounded by n/S so memory stays flat at any scale. */
+  def q49ChunkWindows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("nchunks",
+        floor((greatest(col("n") - ChunkW, lit(0)) + lit(ChunkS - 1)) / lit(ChunkS))
+          .cast("int") + lit(1))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_idx"))
+      .withColumn("start", col("chunk_idx") * ChunkS + 1)
+      .withColumn("chunk", slice(col("t"), col("start"), lit(ChunkW)))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Benchmark-contamination check: for every train-split document (q48's
+    * md5 split), the count of distinct 3-gram shingles it shares with ANY
+    * test-split document. The test set plays the "held-out benchmark"
+    * role; a train doc with high overlap would leak the benchmark into
+    * training. The benchmark shingle set is small by construction (the
+    * test split is ~10% and real benchmark suites are tiny), so it is
+    * broadcast — the corpus-side scan never shuffles. */
+  def q50Contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("bk", T.hashBucket(col("doc_id"), 100))
+      .select(col("doc_id"), col("bk"),
+        explode(array_distinct(T.shingles(col("text"), 3))).as("shingle"))
+    val train = sh.filter(col("bk") < 80).select("doc_id", "shingle")
+    val testShingles = sh.filter(col("bk") >= 90).select("shingle").distinct()
+    val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val overlap = train.join(broadcast(testShingles), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    overlap.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        round(col("n_common") / col("n_shingles").cast("double"), 4).as("overlap"))
+      .withColumn("contaminated", col("overlap") >= 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** PII injected deterministically per row (the corpus itself is clean),
+    * so the scrub path is exercised on real matches in BOTH engines. */
+  private def augmentedText = concat(col("text"),
+    lit(" contact doc"), col("doc_id").cast("string"),
+    lit("@mail.example.com tel 555-867-"),
+    lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+    lit(" ip 192.168."), pmod(col("doc_id"), lit(256)).cast("string"),
+    lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"))
+
+  /** PII detect + redact: per-pattern match counts on the (augmented)
+    * text and the fingerprint of the scrubbed output. Pure regexp chain —
+    * codegen'd, linear, no shuffle. */
+  def q51PiiScrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("aug", augmentedText)
+      .select(col("doc_id"),
+        T.piiCount(col("aug"), T.piiPatterns(0)._2).as("n_email"),
+        T.piiCount(col("aug"), T.piiPatterns(1)._2).as("n_phone"),
+        T.piiCount(col("aug"), T.piiPatterns(2)._2).as("n_ipv4"),
+        md5(T.scrubPii(col("aug"))).as("scrub_fp"))
+      .orderBy("doc_id")
+
+  /** Mixture sampling: per-source percentage rates (derived here from the
+    * source suffix: rate = 10 + 37·k mod 211, spanning 10%..220% so both
+    * down- AND up-sampling paths run), applied by deterministic hash
+    * membership ([[Sampling.resample]]). Output: per source, input docs vs
+    * emitted rows. */
+  def q52MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("rate",
+        lit(10) + pmod(substring(col("source"), 4, 10).cast("int") * 37, lit(211)))
+    val nIn = docs.groupBy("source", "rate").agg(count(lit(1)).as("n_docs_in"))
+    val nOut = Sampling.resample(docs, col("doc_id"), col("rate"))
+      .groupBy("source", "rate").agg(count(lit(1)).as("n_rows_out"))
+    nIn.join(nOut, Seq("source", "rate"), "left")
+      .select(col("source"), col("rate"), col("n_docs_in"),
+        coalesce(col("n_rows_out"), lit(0L)).as("n_rows_out"))
+      .orderBy("source")
+  }
+
+  /** Gopher-style repetition signals: duplicate-token fraction (per-row
+    * array math) and most-frequent-bigram fraction (explode → two-level
+    * aggregate — the scalable formulation: per-doc maps stay distributed,
+    * nothing collects). */
+  def q53Repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"),
+      T.nTokens(col("text")).as("n_tokens"),
+      T.dupTokenFrac(col("text")).as("dup_frac"))
+    val bigramStats = docs
+      .select(col("doc_id"), explode(T.shingles(col("text"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").count()
+      .groupBy("doc_id")
+      .agg(max(col("count")).as("top_bg"), sum(col("count")).as("n_bg"))
+    base.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_frac"),
+        coalesce(round(col("top_bg") / col("n_bg").cast("double"), 4), lit(0.0))
+          .as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("dup_frac") >= 0.5 || col("top_bigram_frac") >= 0.1)
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: greedy in-order packing of each source's docs into
+    * 256-token shards ([[Packing.packGreedy]] — parallel across sources,
+    * one sequential pass within). */
+  def q54PackShards(s: SparkSession, d: String): DataFrame =
+    Packing.packGreedy(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), T.nTokens(col("text")).as("n_tokens")),
+      "source", "doc_id", "n_tokens", PackCapacity)
+      .orderBy("source", "doc_id")
+
+  val all: Map[String, Q] = Map(
+    "q49_chunk_windows" -> (q49ChunkWindows _),
+    "q50_contamination" -> (q50Contamination _),
+    "q51_pii_scrub" -> (q51PiiScrub _),
+    "q52_mixture_sample" -> (q52MixtureSample _),
+    "q53_repetition" -> (q53Repetition _),
+    "q54_pack_shards" -> (q54PackShards _),
+  )
+
+  /** The q48/q50/q52 md5 hash bucket, as DuckDB SQL over an id expression. */
+  private def bucketSql(id: String): String = T.hashBucketSql(id, 100)
+
+  private val augSql: String =
+    "text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@mail.example.com tel 555-867-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 192.168.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+
+  val oracle: Map[String, String] = Map(
+    "q49_chunk_windows" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |n AS (SELECT doc_id, t, len(t) AS n,
+         |  1 + (greatest(len(t) - $ChunkW, 0) + ${ChunkS - 1}) // $ChunkS AS nchunks FROM d),
+         |c AS (SELECT doc_id, t, n, unnest(range(0, nchunks)) AS ci FROM n)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+         |  CAST(ci * $ChunkS + 1 AS INTEGER) AS start,
+         |  CAST(len(t[ci * $ChunkS + 1 : ci * $ChunkS + $ChunkW]) AS INTEGER) AS n_chunk_tokens,
+         |  md5(array_to_string(t[ci * $ChunkS + 1 : ci * $ChunkS + $ChunkW], ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q50_contamination" ->
+      s"""WITH d AS (SELECT doc_id, ${bucketSql("doc_id")} AS bk,
+         |  string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, bk,
+         |  unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
+         |  FROM d WHERE len(t) >= 3),
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE bk < 80),
+         |te AS (SELECT DISTINCT shingle FROM sh WHERE bk >= 90),
+         |sz AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+         |ov AS (SELECT tr.doc_id, count(*) AS n_common FROM tr JOIN te USING (shingle) GROUP BY tr.doc_id)
+         |SELECT ov.doc_id, sz.n_shingles, ov.n_common,
+         |  round(ov.n_common / CAST(sz.n_shingles AS DOUBLE), 4) AS overlap,
+         |  round(ov.n_common / CAST(sz.n_shingles AS DOUBLE), 4) >= 0.2 AS contaminated
+         |FROM ov JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q51_pii_scrub" ->
+      s"""WITH a AS (SELECT doc_id, $augSql AS aug FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '${T.piiPatterns(0)._2}')) AS INTEGER) AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '${T.piiPatterns(1)._2}')) AS INTEGER) AS n_phone,
+         |  CAST(len(regexp_extract_all(aug, '${T.piiPatterns(2)._2}')) AS INTEGER) AS n_ipv4,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '${T.piiPatterns(0)._2}', '<EMAIL>', 'g'),
+         |    '${T.piiPatterns(1)._2}', '<PHONE>', 'g'),
+         |    '${T.piiPatterns(2)._2}', '<IPV4>', 'g')) AS scrub_fp
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "q52_mixture_sample" ->
+      s"""WITH c AS (SELECT doc_id, source,
+         |  10 + (CAST(substring(source, 4) AS INTEGER) * 37) % 211 AS rate,
+         |  ${bucketSql("doc_id")} AS bk FROM documents)
+         |SELECT source, rate, count(*) AS n_docs_in,
+         |  CAST(sum(rate // 100 + CASE WHEN bk < rate % 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_out
+         |FROM c GROUP BY source, rate ORDER BY source""".stripMargin,
+    "q53_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |  i -> t[i] || ' ' || t[i+1])) AS b FROM d WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |bs AS (SELECT doc_id, max(c) AS top_bg, CAST(sum(c) AS BIGINT) AS n_bg FROM bc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+        |  round(1 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) AS dup_frac,
+        |  coalesce(round(top_bg / CAST(n_bg AS DOUBLE), 4), 0.0) AS top_bigram_frac,
+        |  (round(1 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) >= 0.5
+        |   OR coalesce(round(top_bg / CAST(n_bg AS DOUBLE), 4), 0.0) >= 0.1) AS repetitive
+        |FROM d LEFT JOIN bs ON d.doc_id = bs.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q54_pack_shards" ->
+      s"""WITH RECURSIVE d AS (SELECT source, doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents),
+         |r AS (
+         |  SELECT source, rn, doc_id, tok, CAST(0 AS BIGINT) AS shard, tok AS fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.source, d.rn, d.doc_id, d.tok,
+         |    CASE WHEN r.fill + d.tok <= $PackCapacity THEN r.shard ELSE r.shard + 1 END,
+         |    CASE WHEN r.fill + d.tok <= $PackCapacity THEN r.fill + d.tok ELSE d.tok END
+         |  FROM d JOIN r ON d.source = r.source AND d.rn = r.rn + 1)
+         |SELECT source, doc_id, tok AS n_tokens, shard FROM r
+         |ORDER BY source, doc_id""".stripMargin,
+  )
+}

@@ -222,10 +222,9 @@ object TextQueries {
         |SELECT id AS doc_id, min(r) AS component FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q48_train_split" ->
-      """WITH b AS (SELECT source, text,
-        |  ((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |   + instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100 AS bk
-        |  FROM documents)
+      s"""WITH b AS (SELECT source, text,
+         |  ${T.hashBucketSql("doc_id", 100)} AS bk
+         |  FROM documents)
         |SELECT source,
         |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n_docs,

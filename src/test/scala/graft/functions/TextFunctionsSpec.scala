@@ -68,6 +68,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(byBucket.size == 100 && byBucket.values.max <= 30)
   }
 
+  test("scrubPii redacts email, phone and ip; counts match occurrences") {
+    val df = Seq(
+      "reach me at jane.doe+spam@sub.example.org or 555-123-4567 from 10.0.0.1",
+      "two mails a@b.io c@d.co one phone 800 555 1234",
+      "clean text with no pii at all",
+    ).toDF("text")
+    val got = df.select(
+      T.scrubPii(col("text")).as("s"),
+      T.piiCount(col("text"), T.piiPatterns(0)._2).as("ne"),
+      T.piiCount(col("text"), T.piiPatterns(1)._2).as("np"),
+      T.piiCount(col("text"), T.piiPatterns(2)._2).as("ni"),
+    ).as[(String, Int, Int, Int)].collect()
+    assert(got(0) == (("reach me at <EMAIL> or <PHONE> from <IPV4>", 1, 1, 1)))
+    assert(got(1) == (("two mails <EMAIL> <EMAIL> one phone <PHONE>", 2, 1, 0)))
+    assert(got(2) == (("clean text with no pii at all", 0, 0, 0)))
+  }
+
+  test("dupTokenFrac is 0 for all-distinct docs and rises with repeats") {
+    val df = Seq("a b c d", "a a a a", "a b a b").toDF("text")
+    val got = df.select(T.dupTokenFrac(col("text"))).as[Double].collect().toSeq
+    assert(got == Seq(0.0, 0.75, 0.5))
+  }
+
   test("split labels follow the 80/10/10 buckets and are id-stable") {
     val df = (0L until 2000L).toDF("doc_id")
       .select(col("doc_id"), T.splitLabel(col("doc_id")).as("split"))

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("greedy packing fills shards in order and resets per group") {
+    val df = Seq(
+      // group a, capacity 10: 4+5 -> shard 0, 3+6 -> shard 1, 9 -> shard 2
+      ("a", 1L, 4L), ("a", 2L, 5L), ("a", 3L, 3L), ("a", 4L, 6L), ("a", 5L, 9L),
+      // group b starts back at shard 0
+      ("b", 1L, 10L), ("b", 2L, 1L),
+    ).toDF("g", "id", "sz")
+    val got = Packing.packGreedy(df, "g", "id", "sz", 10L)
+      .orderBy("g", "id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 4L, 0L), ("a", 2L, 5L, 0L), ("a", 3L, 3L, 1L),
+      ("a", 4L, 6L, 1L), ("a", 5L, 9L, 2L),
+      ("b", 1L, 10L, 0L), ("b", 2L, 1L, 1L)))
+  }
+
+  test("oversize rows get a shard of their own without derailing the scan") {
+    val df = Seq(("g", 1L, 3L), ("g", 2L, 50L), ("g", 3L, 4L), ("g", 4L, 5L))
+      .toDF("g", "id", "sz")
+    val got = Packing.packGreedy(df, "g", "id", "sz", 10L)
+      .orderBy("id").select("shard").as[Long].collect().toSeq
+    // 3 -> shard 0; 50 oversize -> shard 1 alone; 4+5 -> shard 2
+    assert(got == Seq(0L, 1L, 2L, 2L))
+  }
+
+  test("shard assignment is independent of input partitioning") {
+    val rows = (1L to 200L).map(i => (s"g${i % 7}", i, 1L + i % 13))
+    val a = Packing.packGreedy(rows.toDF("g", "id", "sz").repartition(1), "g", "id", "sz", 40L)
+      .orderBy("g", "id").as[(String, Long, Long, Long)].collect().toSeq
+    val b = Packing.packGreedy(rows.toDF("g", "id", "sz").repartition(16, col("id")), "g", "id", "sz", 40L)
+      .orderBy("g", "id").as[(String, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    // every shard except possibly the last per group respects capacity...
+    val byShard = a.groupBy(r => (r._1, r._4)).view.mapValues(_.map(_._3).sum)
+    byShard.foreach { case ((g, s), fill) =>
+      assert(fill <= 40L, s"shard ($g,$s) overfilled: $fill") // sizes <= 13 < capacity
+    }
+  }
+}

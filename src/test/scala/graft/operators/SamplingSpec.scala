@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("copy counts: rate<100 keeps a ~rate% subset, rate>100 upsamples") {
+    val df = (0L until 1000L).toDF("id")
+    val kept40 = df.select(Sampling.copies(col("id"), lit(40)).as("n"))
+      .as[Int].collect()
+    assert(kept40.forall(n => n == 0 || n == 1))
+    assert(math.abs(kept40.sum - 400) < 60) // hash spread, not exact
+    val up250 = df.select(Sampling.copies(col("id"), lit(250)).as("n"))
+      .as[Int].collect()
+    assert(up250.forall(n => n == 2 || n == 3))
+    assert(math.abs(up250.sum - 2500) < 60)
+  }
+
+  test("resample emits exactly copies() rows per id, deterministically") {
+    val df = (0L until 500L).toDF("id").withColumn("rate", lit(137))
+    val out = Sampling.resample(df, col("id"), col("rate"))
+    val perId = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    val expected = df.select(col("id"), Sampling.copies(col("id"), col("rate")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    expected.foreach { case (id, n) =>
+      assert(perId.getOrElse(id, 0L) == n.toLong, s"id $id")
+    }
+    // copy_idx enumerates 1..n
+    val idx = out.filter(col("id") === expected.find(_._2 == 2).get._1)
+      .select("copy_idx").as[Int].collect().sorted.toSeq
+    assert(idx == Seq(1, 2))
+    // rerun is bit-identical (no rand() anywhere)
+    assert(out.orderBy("id", "copy_idx").collect().toSeq ==
+      Sampling.resample(df, col("id"), col("rate")).orderBy("id", "copy_idx").collect().toSeq)
+  }
+
+  test("rate 0 drops everything; rate 100 is the identity") {
+    val df = (0L until 100L).toDF("id")
+    assert(Sampling.resample(df, col("id"), lit(0)).count() == 0L)
+    assert(Sampling.resample(df, col("id"), lit(100)).count() == 100L)
+  }
+}
