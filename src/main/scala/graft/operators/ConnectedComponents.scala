@@ -31,10 +31,16 @@ object ConnectedComponents {
 
   /** @param pairs undirected edges, two columns (defaults id_a/id_b);
     *              self-loops and duplicate edges are tolerated
+    * @param requireConverged when true (default), throw if the star rounds
+    *              exhaust `maxIter` before reaching the fixpoint — an
+    *              unconverged edge set silently yields WRONG components
+    *              (nodes still chained through intermediates), which on a
+    *              dedup pipeline means keeping duplicates; fail loudly
+    *              instead. Pass false only for diagnostics.
     * @return (id, component) — one row per distinct node in `pairs`,
     *         component = min node id of its connected component */
   def resolve(pairs: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, requireConverged: Boolean = true): DataFrame = {
     // symmetrize once; edges keep BOTH directions so Γ(u) is one groupBy
     var edges = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(pairs.select(col(dstCol).as("u"), col(srcCol).as("v")))
@@ -77,6 +83,10 @@ object ConnectedComponents {
       sig = next
       iter += 1
     }
+    if (requireConverged && !converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter star rounds; " +
+          "raise maxIter (rounds needed grow O(log n), so a small bump goes far)")
 
     // at the fixpoint the graph is a union of depth-1 stars rooted at
     // component minima: component(u) = min(u, min(Γ(u)))

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
@@ -13,11 +12,10 @@ import graft.SparkEntry
 object AuditPlans {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // Sessions.local carries the full driver-parity config (UTC, AQE,
+    // nanosAsLong for events.parquet — without it every events query
+    // fails the audit with IllegalArgumentException).
+    val spark = graft.core.Sessions.local(8, "audit-plans")
     spark.sparkContext.setLogLevel("ERROR")
     println("| query | shuffles | broadcasts | scans | max cols read | pushed filters |")
     println("|---|---|---|---|---|---|")

@@ -22,6 +22,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.size == 60 && got.values.forall(_ == 0L))
   }
 
+  test("exhausting maxIter unconverged fails loudly (and is overridable)") {
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.resolve(chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // diagnostics escape hatch: best-effort result, no throw
+    val loose = ConnectedComponents
+      .resolve(chain, maxIter = 1, requireConverged = false)
+      .as[(Long, Long)].collect().toMap
+    assert(loose.size == 60)
+  }
+
   test("duplicate edges, reversed edges, and self-loops are tolerated") {
     val got = resolveMap(Seq((2L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 2L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
