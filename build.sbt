@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through verbatim instead of
+// wrapping each line as "[info] ..." — `sbt -error "runMain graft.Bench"`
+// then emits the bare JSON contract line with no sbt noise around it
+// (tools/bench.sh execs the JVM directly and is the preferred path; this
+// covers callers that still go through sbt).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
