@@ -144,6 +144,27 @@ object PipelineQueries {
       "source", "doc_id", "n_tokens", PackCapacity)
       .orderBy("source", "doc_id")
 
+  /** Unigram-surprisal quality score (the one-gram core of CCNet-style
+    * LM filtering): corpus MLE unigram probabilities, then per-doc mean
+    * -log2 p(token) = "bits per token" — unusually surprising docs are
+    * filter candidates. Two-level shape: vocab aggregate, then a join
+    * back on token. The token join is the textbook skew case (stopwords
+    * dominate), so it is left to AQE's skew-join split rather than a
+    * forced broadcast — at 100 TB the vocab can be 10^7 rows but the
+    * per-token counts remain a thin two-column table. */
+  def q55UnigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).cast("double").as("s"))
+    tok.join(vocab, "t")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-avg(log2(col("c") / col("s"))), 4).as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q49_chunk_windows" -> (q49ChunkWindows _),
     "q50_contamination" -> (q50Contamination _),
@@ -151,6 +172,7 @@ object PipelineQueries {
     "q52_mixture_sample" -> (q52MixtureSample _),
     "q53_repetition" -> (q53Repetition _),
     "q54_pack_shards" -> (q54PackShards _),
+    "q55_unigram_surprisal" -> (q55UnigramSurprisal _),
   )
 
   /** The q48/q50/q52 md5 hash bucket, as DuckDB SQL over an id expression. */
@@ -230,5 +252,13 @@ object PipelineQueries {
          |  FROM d JOIN r ON d.source = r.source AND d.rn = r.rn + 1)
          |SELECT source, doc_id, tok AS n_tokens, shard FROM r
          |ORDER BY source, doc_id""".stripMargin,
+    "q55_unigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |v AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM v)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(-avg(log2(c / s)), 4) AS bits_per_token
+        |FROM tok JOIN v USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }
