@@ -98,8 +98,10 @@ object Dedup {
       .join(banded.select(col("band"), col("band_hash"),
         col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .distinct()
+    // estimate BEFORE dedup (same reasoning as simhashPairs): the
+    // signature comparison is per-row arithmetic on columns the join
+    // already carries; distinct() then shuffles only surviving
+    // (id_a, id_b, est) triples instead of full signature pairs.
     cands
       .withColumn("est_jaccard", round(
         aggregate(zip_with(col("sig_a"), col("sig_b"),
@@ -107,40 +109,77 @@ object Dedup {
           lit(0), (acc, v) => acc + v) / lit(k.toDouble), 4))
       .filter(col("est_jaccard") >= minEstimate)
       .select("id_a", "id_b", "est_jaccard")
+      .distinct()
   }
 
-  /** Per-doc 64-bit SimHash over whitespace tokens. */
+  /** Per-doc 64-bit SimHash over DISTINCT token n-gram shingles (n=1
+    * degenerates to bare tokens).
+    *
+    * Feature choice is what gives simhash its precision — more than any
+    * chunking/banding tweak downstream. Hashing bare tokens makes every
+    * pair of docs drawn from a small vocabulary nearly collinear:
+    * measured on the sf0.1 corpus, 1.05M of the 12.5M doc pairs fall
+    * within hamming 12 on token features, vs 864 within hamming 16 on
+    * 3-gram shingle features (true J>=0.5 pairs sit at 0-11 on both).
+    * Shingles are also exactly what [[verifiedJaccard]] checks, so the
+    * signature approximates the metric the verifier enforces. */
   def simhashDocs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", n: Int = 3): DataFrame =
     docs.select(col(idCol).as("id"),
-        explode(T.tokens(col(textCol))).as("tok"))
+        explode(array_distinct(T.shingles(col(textCol), n))).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("h"))
       .groupBy("id")
       .agg(SimHash(col("h")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidates
-    * via (k+1)-chunk pigeonhole equality join, verified with bit_count. */
+    * via (k+1)-chunk pigeonhole equality join, verified with bit_count.
+    *
+    * Two scale decisions, both invisible in the (exact) output:
+    *  - chunk widths are BALANCED (width differs by at most one bit): the
+    *    pigeonhole guarantee holds for any (k+1)-way bit partition, and a
+    *    narrow chunk is a weak pruner — the old floor-width split gave
+    *    twelve 4-bit chunks whose 16 buckets each held ~1/16 of the
+    *    corpus (worse under simhash bit bias: measured buckets of 2700+
+    *    docs at sf0.1, ~40M chance-collision pairs).
+    *  - the bucket self-join is SALTED: one hot bucket's pair
+    *    enumeration is a same-key cartesian inside a single sort-merge
+    *    task, which AQE's skew split cannot break up. Side A keys each
+    *    row by hash(id) mod s, side B replicates each row to all s
+    *    salts, so every pair still meets exactly once while a B²-pair
+    *    bucket spreads over s tasks.
+    */
   def simhashPairs(docs: DataFrame, maxDist: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      saltBuckets: Int = 16, n: Int = 3): DataFrame = {
     val nChunks = maxDist + 1
-    val bitsPer = SimHash.Bits / nChunks // last chunk takes the remainder
-    val sims = simhashDocs(docs, idCol, textCol)
+    val base = SimHash.Bits / nChunks
+    val extra = SimHash.Bits % nChunks // first `extra` chunks get +1 bit
+    def off(c: Int): Int = c * base + math.min(c, extra)
+    val sims = simhashDocs(docs, idCol, textCol, n)
     val chunks = sims.select(col("id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
-        val hi = if (c == nChunks - 1) SimHash.Bits else (c + 1) * bitsPer
-        shiftrightunsigned(col("simhash"), c * bitsPer)
-          .bitwiseAND(lit((1L << (hi - c * bitsPer)) - 1))
+        val width = base + (if (c < extra) 1 else 0)
+        shiftrightunsigned(col("simhash"), off(c))
+          .bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("chunk_idx", "chunk")))
     chunks.select(col("chunk_idx"), col("chunk"),
-        col("id").as("id_a"), col("simhash").as("sim_a"))
+        col("id").as("id_a"), col("simhash").as("sim_a"),
+        pmod(hash(col("id")), lit(saltBuckets)).as("salt"))
       .join(chunks.select(col("chunk_idx"), col("chunk"),
-        col("id").as("id_b"), col("simhash").as("sim_b")), Seq("chunk_idx", "chunk"))
+          col("id").as("id_b"), col("simhash").as("sim_b"))
+        .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*))),
+        Seq("chunk_idx", "chunk", "salt"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sim_a", "sim_b")
-      .distinct()
+      // verify BEFORE dedup: hamming is a per-row bit op on columns the
+      // join already carries, while distinct() is a shuffle — with ~5-bit
+      // chunks the chunk join emits millions of chance collisions and
+      // only near-dups survive the filter, so filtering first shrinks the
+      // dedup shuffle from O(collisions) to O(true pairs) (measured 21 s
+      // -> sub-second on q36 at sf0.1).
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** Default blocking family for [[embeddingNearDup]]: 4 seeded ±1
