@@ -127,6 +127,28 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The end of the dedup story: the corpus AFTER near-dup removal.
+    * Composes q34's exact pairs → q44's connected components → "keep a
+    * doc iff it is its cluster's representative (minimum id)", reported
+    * per source as kept-doc and kept-token counts. This is the query a
+    * pipeline user actually runs; q33-q44 are its pieces. */
+  def q56DedupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    val comp = ConnectedComponents.resolve(pairs)
+      .withColumnRenamed("id", "doc_id")
+    docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("kept", col("component") === col("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_in"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("kept"), T.nTokens(col("text")).cast("long")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
   /** Deterministic 80/10/10 train/val/test split: membership is a pure
     * function of doc_id (portable md5 arithmetic — see
     * TextFunctions.hashBucket), never of partitioning or sample order, so
@@ -150,6 +172,7 @@ object TextQueries {
     "q37_rolling_fingerprint" -> (q37RollingFingerprint _),
     "q44_dedup_clusters" -> (q44DedupClusters _),
     "q48_train_split" -> (q48TrainSplit _),
+    "q56_dedup_corpus" -> (q56DedupCorpus _),
   )
 
   private def hitsSql(langList: String): String =
@@ -202,25 +225,17 @@ object TextQueries {
     "q37_rolling_fingerprint" ->
       "SELECT doc_id, true AS consistent FROM documents ORDER BY doc_id",
     "q44_dedup_clusters" ->
-      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |  unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
-        |  FROM docs WHERE len(t) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY id_a, id_b),
-        |jac AS (SELECT id_a, id_b
-        |  FROM cand JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-        |  WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5),
-        |edges AS (SELECT id_a AS u, id_b AS v FROM jac
-        |  UNION ALL SELECT id_b AS u, id_a AS v FROM jac),
-        |reach AS (
-        |  SELECT doc_id AS id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v)
-        |SELECT id AS doc_id, min(r) AS component FROM reach
-        |GROUP BY id ORDER BY doc_id""".stripMargin,
+      s"""$ccCtesSql
+         |SELECT id AS doc_id, min(r) AS component FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q56_dedup_corpus" ->
+      s"""$ccCtesSql,
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT d.source, count(*) AS n_docs_in,
+         |  CAST(sum(CASE WHEN comp.component = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+         |  CAST(sum(CASE WHEN comp.component = d.doc_id THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT) AS n_tokens_kept
+         |FROM documents d JOIN comp ON comp.id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q48_train_split" ->
       s"""WITH b AS (SELECT source, text,
          |  ${T.hashBucketSql("doc_id", 100)} AS bk
@@ -231,6 +246,27 @@ object TextQueries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
   )
+
+  /** Shared recursive-CTE prefix for the connected-components oracles
+    * (q44, q56): exact-Jaccard edges + min-reachable-id closure. */
+  private lazy val ccCtesSql: String =
+    """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      |  FROM docs WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY id_a, id_b),
+      |jac AS (SELECT id_a, id_b
+      |  FROM cand JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM jac
+      |  UNION ALL SELECT id_b AS u, id_a AS v FROM jac),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v)""".stripMargin
 
   private lazy val exactJaccardSql: String =
     """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
