@@ -40,15 +40,12 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
-  /** Corpus bucketed by sign-LSH over explicit hyperplanes. */
+  /** Corpus bucketed by sign-LSH over explicit hyperplanes
+    * ([[V.rademacherPlanes]] for SQL-reproducible buckets,
+    * [[V.hyperplanes]] for seeded Gaussian ones). */
   def lshBucketsWith(corpus: DataFrame, planes: Array[Array[Double]],
       vecCol: String = "embedding"): DataFrame =
     corpus.withColumn("bucket", V.lshBucket(col(vecCol), planes))
-
-  /** Corpus bucketed by sign-LSH over `nPlanes` seeded Gaussian planes. */
-  def lshBuckets(corpus: DataFrame, nPlanes: Int = 12, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    lshBucketsWith(corpus, V.hyperplanes(nPlanes, dim), vecCol)
 
   /** IVF coarse quantizer: KMeans centroids over a (sampled) corpus; each
     * vector is assigned to its nearest centroid's cell. At 100 TB the model
@@ -142,16 +139,13 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket.
-    * Misses across bucket boundaries are the accepted recall trade. */
-  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int = 3,
-      nPlanes: Int = 12, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    knnLshWith(corpus, queries, V.hyperplanes(nPlanes, dim), k, idCol, vecCol)
-
-  /** [[knnLsh]] with explicit hyperplanes — [[V.rademacherPlanes]] gives
-    * ±1 planes whose dot products SQL engines reproduce exactly, making
-    * the full bucketed top-k DuckDB-oracle-verifiable. */
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * under explicit hyperplanes; misses across bucket boundaries are the
+    * accepted recall trade (floor pinned by SimilaritySpec).
+    * [[V.rademacherPlanes]] gives ±1 planes whose dot products SQL
+    * engines reproduce exactly, making the full bucketed top-k
+    * DuckDB-oracle-verifiable; [[V.hyperplanes]] gives the classic
+    * seeded Gaussian family. */
   def knnLshWith(corpus: DataFrame, queries: DataFrame,
       planes: Array[Array[Double]], k: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
