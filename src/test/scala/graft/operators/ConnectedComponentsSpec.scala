@@ -35,6 +35,35 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(loose.size == 60)
   }
 
+  test("matches an in-memory union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    (1 to 15).foreach { _ =>
+      val n = 2 + rnd.nextInt(28)
+      val edges = (0 until n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // reference union-find over the same edge list
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map { x =>
+          // canonical component = min node of the set, which union-by-min
+          // preserves as the root
+          x -> find(x)
+        }.toMap
+        val got = resolveMap(edges)
+        assert(got == want, s"edges=$edges")
+      }
+    }
+  }
+
   test("duplicate edges, reversed edges, and self-loops are tolerated") {
     val got = resolveMap(Seq((2L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 2L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))

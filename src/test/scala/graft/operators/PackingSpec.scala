@@ -31,6 +31,28 @@ class PackingSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 2L, 2L))
   }
 
+  test("matches a direct sequential simulation on random inputs") {
+    val rnd = new scala.util.Random(99)
+    (1 to 5).foreach { _ =>
+      val cap = 10L + rnd.nextInt(40)
+      val rows = (1 to 150).map { i =>
+        (s"g${rnd.nextInt(5)}", i.toLong, 1L + rnd.nextInt(60))
+      }
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        var shard = 0L; var fill = 0L; var first = true
+        rs.sortBy(_._2).map { case (_, id, sz) =>
+          if (first) { first = false; fill = sz }
+          else if (fill + sz <= cap) { fill += sz }
+          else { shard += 1; fill = sz }
+          (g, id, sz, shard)
+        }
+      }.toSet
+      val got = Packing.packGreedy(rows.toDF("g", "id", "sz"), "g", "id", "sz", cap)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == want, s"cap=$cap")
+    }
+  }
+
   test("shard assignment is independent of input partitioning") {
     val rows = (1L to 200L).map(i => (s"g${i % 7}", i, 1L + i % 13))
     val a = Packing.packGreedy(rows.toDF("g", "id", "sz").repartition(1), "g", "id", "sz", 40L)
