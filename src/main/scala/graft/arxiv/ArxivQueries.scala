@@ -10,7 +10,13 @@ import graft.functions.GroupOps
   * argmax idiom is rewritten to one window per group (GroupOps
   * .argmaxPerGroup) — same row set incl. ties, one shuffle instead of a
   * self-join. The `LIMIT 0.01 * count / 100` scalar-subquery limit becomes
-  * GroupOps.topPercent (TakeOrderedAndProject). */
+  * GroupOps.topPercent (TakeOrderedAndProject).
+  *
+  * Every `ORDER BY rank LIMIT k` carries a pinned tiebreak
+  * (author_id[, year]) in BOTH the builders and the [[ArxivSql]] twins:
+  * Postgres leaves tie order at the LIMIT boundary unspecified, so the
+  * truncated row set is one of several it could return — pinning makes
+  * runs reproducible and the SQL/DataFrame pair row-identical. */
 object ArxivQueries {
 
   private val TopPct = 0.01 // "top 0.01%"
@@ -25,7 +31,7 @@ object ArxivQueries {
   def q1TopAuthorsByPubs(author: DataFrame, k: Option[Int] = None): DataFrame =
     author.select(col("author_id"), col("rank_total_pubs").as("rank"),
         col("total_pubs").as("publications"))
-      .orderBy("rank").limit(topK(author, k))
+      .orderBy("rank", "author_id").limit(topK(author, k))
 
   /** Q2 (README.md:196-220): for the Q1 authors, their modal journal and
     * its share of their publications (integer percent, 'NN%'). The
@@ -51,7 +57,7 @@ object ArxivQueries {
         concat(floor(col("number") * lit(100) / col("publications"))
           .cast("int").cast("string"), lit("%"))
           .as("percentage_of_all_publications"))
-      .orderBy("rank")
+      .orderBy("rank", "author_id")
       .limit(kk)
   }
 
@@ -64,7 +70,7 @@ object ArxivQueries {
       article: DataFrame, k: Option[Int] = None): DataFrame = {
     val kk = topK(author, k)
     val top = author.select(col("author_id"), col("rank_total_pubs").as("rank"))
-      .orderBy("rank").limit(kk)
+      .orderBy("rank", "author_id").limit(kk)
     val perYear = top
       .join(authorship, Seq("author_id"))
       .join(article.select("article_id", "year", "n_cites"), Seq("article_id"))
@@ -77,7 +83,7 @@ object ArxivQueries {
       .select(col("author_id"), col("rank"),
         col("year").as("most_influential_year"),
         col("pub").as("count_of_pub"), col("avg_cites"))
-      .orderBy("rank")
+      .orderBy("rank", "author_id", "most_influential_year")
       .limit(kk)
   }
 
@@ -89,7 +95,7 @@ object ArxivQueries {
     val kk = topK(author, k)
     val top = author.select(col("author_id"), col("rank_total_pubs").as("rank"),
         col("total_pubs").as("publications"), col("hindex"), col("avg_cites"))
-      .orderBy("rank").limit(kk)
+      .orderBy("rank", "author_id").limit(kk)
     val perYear = top
       .join(authorship, Seq("author_id"))
       .join(article.select("article_id", "year"), Seq("article_id"))
@@ -100,7 +106,7 @@ object ArxivQueries {
     GroupOps.argmaxPerGroup(perYear, Seq("author_id"), col("hindex_sum"))
       .select(col("author_id"), col("rank"), col("hindex_sum").as("hindex"),
         col("pub"), col("avg_cites_sum").as("avg_cites"), col("year"))
-      .orderBy("rank")
+      .orderBy("rank", "author_id", "year")
       .limit(kk)
   }
 }

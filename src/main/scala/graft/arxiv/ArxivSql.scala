@@ -25,7 +25,7 @@ object ArxivSql {
   def q1(k: Int): String =
     s"""SELECT author_id, rank_total_pubs AS rank, total_pubs AS publications
        |FROM author
-       |ORDER BY rank_total_pubs
+       |ORDER BY rank_total_pubs, author_id
        |LIMIT $k""".stripMargin
 
   def q2(k: Int): String =
@@ -46,7 +46,7 @@ object ArxivSql {
        |       concat(CAST(CAST(floor(number * 100 / publications) AS INT)
        |         AS STRING), '%') AS percentage_of_all_publications
        |FROM ranked WHERE rk = 1
-       |ORDER BY rank
+       |ORDER BY rank, author_id
        |LIMIT $k""".stripMargin
 
   /** Literal reference shape (theta-join argmax) — exercised through the
@@ -54,7 +54,7 @@ object ArxivSql {
   def q3(k: Int): String =
     s"""WITH top AS (
        |  SELECT author_id, rank_total_pubs AS rank FROM author
-       |  ORDER BY rank_total_pubs LIMIT $k),
+       |  ORDER BY rank_total_pubs, author_id LIMIT $k),
        |per_year AS (
        |  SELECT t.author_id, t.rank, count(ar.year) AS pub, ar.year,
        |         CAST(floor(CAST(sum(ar.n_cites) AS BIGINT) / count(ar.year))
@@ -69,7 +69,7 @@ object ArxivSql {
        |LEFT JOIN per_year f1
        |  ON f.author_id = f1.author_id AND f.avg_cites < f1.avg_cites
        |WHERE f1.author_id IS NULL
-       |ORDER BY f.rank
+       |ORDER BY f.rank, f.author_id, f.year
        |LIMIT $k""".stripMargin
 
   /** Q4 (README.md:262-283): "most influential year" — per-year argmax of
@@ -81,7 +81,7 @@ object ArxivSql {
        |  SELECT author_id, rank_total_pubs AS rank, total_pubs AS publications,
        |         hindex, avg_cites
        |  FROM author
-       |  ORDER BY rank_total_pubs LIMIT $k),
+       |  ORDER BY rank_total_pubs, author_id LIMIT $k),
        |per_year AS (
        |  SELECT t.author_id, t.rank,
        |         CAST(sum(t.hindex) AS DOUBLE) AS hindex,
@@ -96,6 +96,6 @@ object ArxivSql {
        |LEFT JOIN per_year f1
        |  ON f.author_id = f1.author_id AND f.hindex < f1.hindex
        |WHERE f1.author_id IS NULL
-       |ORDER BY f.rank
+       |ORDER BY f.rank, f.author_id, f.year
        |LIMIT $k""".stripMargin
 }

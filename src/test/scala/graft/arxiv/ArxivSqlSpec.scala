@@ -62,7 +62,7 @@ class ArxivSqlSpec extends AnyFunSuite {
       val q1Sql = rows(spark.sql(ArxivSql.q1(kTop)))
       val q1Df = rows(author
         .selectExpr("author_id", "rank_total_pubs AS rank", "total_pubs AS publications")
-        .orderBy("rank").limit(kTop))
+        .orderBy("rank", "author_id").limit(kTop)) // pinned tiebreak, as in ArxivSql/ArxivQueries
       assert(q1Sql == q1Df && q1Sql.nonEmpty)
 
       // q2: SQL vs DataFrame builder (same k injected both sides)
