@@ -383,6 +383,34 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
+  /** Approximate aggregates (the sketches a 100 TB user reaches for when
+    * exact distinct/percentile are too expensive): HyperLogLog++ distinct
+    * and approx_percentile per order-priority, each SELF-CHECKED against
+    * the exact value computed in the same pass. Sketch values are
+    * engine-specific, so — like q37's fingerprint algebra — the oracle
+    * checks the error-bound BOOLEANS (DuckDB predicts `true`) while the
+    * exact columns stay hash-compared. HLL++ at rsd=0.02 and the exact
+    * true quantile bracket make the bounds deterministic on fixed data,
+    * not probabilistic assertions. */
+  def q57ApproxAggs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_distinct"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_d"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_p50"),
+        min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
+      .select(col("o_orderpriority"), col("exact_distinct"),
+        (abs(col("approx_d") - col("exact_distinct")) <=
+          greatest(col("exact_distinct") * 0.05, lit(8.0))).as("distinct_ok"),
+        round(col("exact_p50"), 2).as("exact_p50"),
+        (col("approx_p50") >= col("min_price") &&
+          col("approx_p50") <= col("max_price") &&
+          abs(col("approx_p50") - col("exact_p50")) <=
+            (col("max_price") - col("min_price")) * 0.05).as("p50_ok"))
+      .orderBy("o_orderpriority")
+
   /** As-of join (custom operator, composed — see operators.AsOfJoin): each
     * purchase event paired with the user's most recent click at or before
     * it. DuckDB's native ASOF LEFT JOIN is the oracle. */
@@ -466,6 +494,7 @@ object Relational {
     "q29_rollup" -> (q29Rollup _),
     "q42_asof_join" -> (q42AsOf _),
     "q43_session_window" -> (q43SessionWindow _),
+    "q57_approx_aggs" -> (q57ApproxAggs _),
     "q45_range_join" -> (q45RangeJoin _),
     "q46_asof_exec" -> (q46AsOfExec _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -540,6 +569,15 @@ object Relational {
         |count(*) AS n, round(sum(o_totalprice),2) AS total_price
         |FROM orders GROUP BY ROLLUP(order_year, o_orderstatus)
         |ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    // sketch VALUES are engine-specific; the oracle checks the exact
+    // columns plus the error-bound booleans (predicted true), q37-style
+    "q57_approx_aggs" ->
+      """SELECT o_orderpriority,
+        |count(DISTINCT o_custkey) AS exact_distinct,
+        |true AS distinct_ok,
+        |round(median(o_totalprice), 2) AS exact_p50,
+        |true AS p50_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity),2) AS sum_qty,
