@@ -161,6 +161,36 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum(T.nTokens(col("text"))).as("n_tokens"))
       .orderBy("source", "split")
 
+  /** Misra-Gries summary size for q58: one less than the corpus vocab so
+    * the sketch actually has to evict (k >= vocab would make it exact). */
+  val HeavyHitterK = 30
+
+  /** Heavy-hitter tokens via the Misra-Gries sketch, self-checked against
+    * exact counts computed in the same query (the q57/q37 pattern for
+    * engine-specific values): output rows are the GUARANTEED heavy
+    * hitters — tokens with exact count > n/(k+1), a deterministic set —
+    * with their exact counts hash-compared and two booleans the oracle
+    * predicts true: the MG containment guarantee and the n/(k+1)
+    * undercount bound. The sketch's extra (partition-dependent) entries
+    * never reach the output. */
+  def q58HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val k = HeavyHitterK
+    val tok = Tables.documents(s, d)
+      .select(explode(T.tokens(col("text"))).as("t"))
+    val summary = tok.select(graft.functions.MisraGries(col("t"), k).as("mg"))
+    val exact = tok.groupBy("t").agg(count(lit(1)).as("exact_count"))
+    val tot = tok.agg(count(lit(1)).as("total"))
+    val est = try_element_at(col("mg"), col("t"))
+    exact.crossJoin(broadcast(summary)).crossJoin(broadcast(tot))
+      .filter(col("exact_count") > col("total") / lit(k + 1.0))
+      .select(col("t"), col("exact_count"),
+        map_contains_key(col("mg"), col("t")).as("in_summary"),
+        coalesce(est <= col("exact_count") &&
+          (col("exact_count") - est) <= col("total") / lit(k + 1.0),
+          lit(false)).as("estimate_ok"))
+      .orderBy("t")
+  }
+
   val all: Map[String, Q] = Map(
     "q30_lang_id" -> (q30LangId _),
     "q31_quality_score" -> (q31Quality _),
@@ -173,6 +203,7 @@ object TextQueries {
     "q44_dedup_clusters" -> (q44DedupClusters _),
     "q48_train_split" -> (q48TrainSplit _),
     "q56_dedup_corpus" -> (q56DedupCorpus _),
+    "q58_heavy_hitters" -> (q58HeavyHitters _),
   )
 
   private def hitsSql(langList: String): String =
@@ -236,6 +267,7 @@ object TextQueries {
          |  CAST(sum(CASE WHEN comp.component = d.doc_id THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT) AS n_tokens_kept
          |FROM documents d JOIN comp ON comp.id = d.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q58_heavy_hitters" -> heavyHittersOracle,
     "q48_train_split" ->
       s"""WITH b AS (SELECT source, text,
          |  ${T.hashBucketSql("doc_id", 100)} AS bk
@@ -246,6 +278,15 @@ object TextQueries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
   )
+
+  // lazy: declared after `oracle`, which references it at object init
+  private lazy val heavyHittersOracle: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+       |c AS (SELECT t, count(*) AS exact_count FROM tok GROUP BY t),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+       |SELECT t, exact_count, true AS in_summary, true AS estimate_ok
+       |FROM c, tt WHERE exact_count > total / ${HeavyHitterK + 1}.0
+       |ORDER BY t""".stripMargin
 
   /** Shared recursive-CTE prefix for the connected-components oracles
     * (q44, q56): exact-Jaccard edges + min-reachable-id closure. */
