@@ -95,6 +95,24 @@ object TextFunctions {
     s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)}) % $buckets"
   }
 
+  /** Deterministic uniform in (0,1): the first 12 md5 hex digits as a
+    * 48-bit integer m, mapped to (m+1)/(2^48+1). Exactly representable
+    * arithmetic (m+1 <= 2^48 fits a double; one correctly-rounded
+    * division), so every engine computes the identical double — the
+    * portable-randomness primitive behind weighted sampling. */
+  def hashUniform(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("double") + 1.0) /
+      lit(281474976710657.0) // 2^48 + 1
+
+  /** DuckDB twin of [[hashUniform]]. */
+  def hashUniformSql(id: String): String = {
+    val terms = (1 to 12).map { i =>
+      val mult = math.pow(16, 12 - i).toLong
+      s"(instr('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), $i, 1)) - 1) * ${mult}.0"
+    }
+    s"(((${terms.mkString(" + ")}) + 1) / 281474976710657.0)"
+  }
+
   /** 80/10/10 split label from [[hashBucket]] (buckets 0-79 train,
     * 80-89 val, 90-99 test). */
   def splitLabel(id: Column): Column = {

@@ -34,4 +34,26 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(1), col("n_copies"))))
       .drop("n_copies")
   }
+
+  /** Priority-sampling priority (Duffield, Lund & Thorup, JACM 2007):
+    * weight / u with u = [[TextFunctions.hashUniform]](id). Taking the
+    * top-k priorities yields a weighted sample without replacement whose
+    * inclusion probabilities are proportional to weight (up to the
+    * threshold row) — and because u is hash-derived, the SAMPLE IS A PURE
+    * FUNCTION OF ROW IDENTITY: identical across engines, reruns, and
+    * cluster sizes. Division-only arithmetic (no ln/pow whose libm
+    * rounding differs between engines), so a SQL twin reproduces every
+    * priority bit-for-bit. */
+  def priority(id: Column, weight: Column): Column =
+    weight.cast("double") / TextFunctions.hashUniform(id)
+
+  /** Deterministic weighted sample without replacement: the k rows with
+    * the highest priorities. Plans as TakeOrderedAndProject (distributed
+    * per-partition top-k + merge) — no global sort, no shuffle of the
+    * full table. */
+  def samplePriority(df: DataFrame, idCol: Column, weightCol: Column,
+      k: Int): DataFrame =
+    df.withColumn("priority", priority(idCol, weightCol))
+      .orderBy(col("priority").desc)
+      .limit(k)
 }

@@ -165,6 +165,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic weighted sampling (priority sampling, Duffield-Lund-
+    * Thorup): the 25 documents with the highest weight/u priorities,
+    * weight = token count, u = portable md5 uniform. Inclusion is
+    * weight-proportional yet a pure function of doc identity — rerun it
+    * on any cluster and the same docs come back. Plans as
+    * TakeOrderedAndProject: per-partition top-k + merge, no global sort. */
+  def q59WeightedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.samplePriority(
+      Tables.documents(s, d)
+        .select(col("doc_id"), T.nTokens(col("text")).as("weight")),
+      col("doc_id"), col("weight"), k = 25)
+      .orderBy(col("priority").desc, col("doc_id"))
+
   val all: Map[String, Q] = Map(
     "q49_chunk_windows" -> (q49ChunkWindows _),
     "q50_contamination" -> (q50Contamination _),
@@ -173,6 +186,7 @@ object PipelineQueries {
     "q53_repetition" -> (q53Repetition _),
     "q54_pack_shards" -> (q54PackShards _),
     "q55_unigram_surprisal" -> (q55UnigramSurprisal _),
+    "q59_weighted_sample" -> (q59WeightedSample _),
   )
 
   /** The q48/q50/q52 md5 hash bucket, as DuckDB SQL over an id expression. */
@@ -252,6 +266,12 @@ object PipelineQueries {
          |  FROM d JOIN r ON d.source = r.source AND d.rn = r.rn + 1)
          |SELECT source, doc_id, tok AS n_tokens, shard FROM r
          |ORDER BY source, doc_id""".stripMargin,
+    "q59_weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS weight FROM documents),
+         |p AS (SELECT doc_id, CAST(weight AS INTEGER) AS weight,
+         |  CAST(weight AS DOUBLE) / ${T.hashUniformSql("doc_id")} AS priority FROM w)
+         |SELECT doc_id, weight, priority FROM p
+         |ORDER BY priority DESC, doc_id LIMIT 25""".stripMargin,
     "q55_unigram_surprisal" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |v AS (SELECT t, count(*) AS c FROM tok GROUP BY t),

@@ -36,6 +36,25 @@ class SamplingSpec extends SparkSpec {
       Sampling.resample(df, col("id"), col("rate")).orderBy("id", "copy_idx").collect().toSeq)
   }
 
+  test("priority sample matches an independent JVM md5 reference, any partitioning") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 400L).map(i => (i, 1L + rnd.nextInt(100)))
+    def refUniform(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 281474976710657.0
+    }
+    val want = rows.map { case (id, w) => (id, w / refUniform(id)) }
+      .sortBy(-_._2).take(20).map(_._1).toList
+    Seq(1, 16).foreach { parts =>
+      val got = Sampling.samplePriority(
+        rows.toDF("id", "w").repartition(parts), col("id"), col("w"), 20)
+        .orderBy(col("priority").desc).select("id").as[Long].collect().toList
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("rate 0 drops everything; rate 100 is the identity") {
     val df = (0L until 100L).toDF("id")
     assert(Sampling.resample(df, col("id"), lit(0)).count() == 0L)
