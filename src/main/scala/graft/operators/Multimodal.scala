@@ -124,6 +124,23 @@ object Multimodal {
     })
   }
 
+  /** REAL audio metadata probe (no stub), sibling of [[probeImageMeta]]:
+    * parse sample_rate/duration out of RIFF/WAVE payload bytes
+    * ([[graft.functions.AudioHeaders]] — fmt/data chunk walk). Audio rows
+    * whose payload parses get their meta replaced by ground truth;
+    * unparseable or non-audio rows keep the supplied meta. */
+  def probeAudioMeta(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize)(_.map { m =>
+      if (m.kind != "audio") m
+      else graft.functions.AudioHeaders.wav(m.bytes) match {
+        case Some(w) => m.copy(meta = m.meta.copy(
+          sample_rate = Some(w.sampleRate), duration_ms = Some(w.durationMs)))
+        case None => m
+      }
+    })
+  }
+
   /** Demo media table derived from the documents fixture (payload = utf-8
     * bytes), so the plumbing runs against real testdata shapes. */
   def mediaFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {

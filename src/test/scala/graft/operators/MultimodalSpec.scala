@@ -88,6 +88,51 @@ class MultimodalSpec extends SparkSpec {
     assert(got(13L) == MediaMeta(None, None, Some(44100), None)) // non-image: untouched
   }
 
+  // Minimal but REAL RIFF/WAVE header: fmt + data chunk walk, LE fields.
+  private def wavBytes(channels: Int, rate: Int, bits: Int,
+      dataBytes: Int, oddJunkChunk: Boolean = false): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val byteRate = rate * channels * bits / 8
+    val junk = if (oddJunkChunk) // odd-sized chunk + pad byte (word alignment)
+      "LIST".getBytes("US-ASCII") ++ le32(3) ++ Array[Byte](1, 2, 3, 0)
+    else Array.emptyByteArray
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataBytes) ++ "WAVE".getBytes("US-ASCII") ++
+      junk ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(byteRate) ++ le16(channels * bits / 8) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(dataBytes) ++ Array.fill(dataBytes)(0.toByte)
+  }
+
+  test("wav header parsing reads rate/channels/duration; chunk walk skips junk") {
+    import graft.functions.AudioHeaders
+    // 16 kHz mono 16-bit, 32000 data bytes = 1000 ms
+    assert(AudioHeaders.wav(wavBytes(1, 16000, 16, 32000))
+      .contains(AudioHeaders.Wav(1, 16000, 16, 32000, 1000)))
+    // 44.1 kHz stereo, odd-sized junk chunk before fmt (alignment pad)
+    assert(AudioHeaders.wav(wavBytes(2, 44100, 16, 44100 * 4, oddJunkChunk = true))
+      .contains(AudioHeaders.Wav(2, 44100, 16, 44100 * 4, 1000)))
+    // header-only probe: data size field present, payload truncated
+    assert(AudioHeaders.wav(wavBytes(1, 8000, 8, 8000).take(60))
+      .contains(AudioHeaders.Wav(1, 8000, 8, 8000, 1000)))
+    // truncated/garbage payloads: None, never an exception
+    assert(AudioHeaders.wav(wavBytes(1, 16000, 16, 100).take(10)).isEmpty)
+    assert(AudioHeaders.wav("not audio at all".getBytes).isEmpty)
+    assert(AudioHeaders.wav(Array.emptyByteArray).isEmpty)
+  }
+
+  test("probeAudioMeta overwrites planted meta with parsed ground truth") {
+    val rows = Seq(
+      MediaRow(20L, "audio", wavBytes(1, 16000, 16, 64000), MediaMeta(None, None, Some(1), Some(1))),
+      MediaRow(21L, "audio", "garbage".getBytes, MediaMeta(None, None, Some(8000), Some(5))),
+      MediaRow(22L, "image", wavBytes(1, 8000, 8, 100), MediaMeta(Some(3), Some(3), None, None)),
+    ).toDS()
+    val got = probeAudioMeta(rows).collect().map(m => m.media_id -> m.meta).toMap
+    assert(got(20L) == MediaMeta(None, None, Some(16000), Some(2000)))
+    assert(got(21L) == MediaMeta(None, None, Some(8000), Some(5)))  // unparseable: kept
+    assert(got(22L) == MediaMeta(Some(3), Some(3), None, None))     // non-audio: untouched
+  }
+
   test("documents-derived media table has the declared schema") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val m = mediaFromDocuments(spark, docs)
