@@ -121,6 +121,71 @@ object EventStreams {
         "click_ts", "click_value")
   }
 
+  case class AsOfOut(event_id: Long, user_id: Long, purchase_ts: Timestamp,
+      click_ts: Option[Timestamp], click_value: Option[Double])
+
+  /** As-of buffers (public: Catalyst codegen instantiates it).
+    * rights = (ts, value) clicks; lefts = (ts, event_id) purchases. */
+  case class AsOfState(rights: List[(Long, Double)], lefts: List[(Long, Long)])
+
+  /** Streaming as-of join — the unbounded twin of q42/q46
+    * ([[graft.operators.AsOfJoin]]): every purchase is paired with the
+    * same user's most recent click at or before it (ASOF LEFT: no prior
+    * click → nulls). A left row can only be emitted once its match is
+    * FINAL, i.e. once the watermark passes its event time (no click at or
+    * before it can still arrive) — so purchases buffer until the
+    * watermark releases them, the emit-on-watermark discipline every
+    * streaming as-of needs.
+    *
+    * State is bounded on both sides: purchases leave the buffer when
+    * emitted, and of the clicks at or below the watermark only the
+    * greatest (ts, value) survives — any future purchase has
+    * ts > watermark, so that one click dominates every older one. The
+    * (ts, value) tuple-max tie-break is the batch operator's
+    * greatest-payload-at-shared-timestamp rule, so the streaming and
+    * batch answers are identical row-for-row (EventStreamsSpec pins it).
+    * Event-time timeouts flush buffered purchases of users who go quiet;
+    * the single surviving click per idle user is the irreducible as-of
+    * state (a purchase may arrive any time later), the streaming analogue
+    * of the batch right side. */
+  def asOfClickPurchase(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[AsOfState]) =>
+          val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          var rights = prev.rights
+          var lefts = prev.lefts
+          rows.foreach { e =>
+            if (e.event_type == "click") rights = (e.ts.getTime, e.value) :: rights
+            else lefts = (e.ts.getTime, e.event_id) :: lefts
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (due, pending) = lefts.partition(_._1 <= wm)
+          val out = due.sortBy(identity).map { case (lts, id) =>
+            val candidates = rights.filter(_._1 <= lts)
+            val m = if (candidates.isEmpty) None else Some(candidates.max)
+            AsOfOut(id, userId, new Timestamp(lts),
+              m.map(r => new Timestamp(r._1)), m.map(_._2))
+          }
+          val (live, dominated) = rights.partition(_._1 > wm)
+          val keep = if (dominated.isEmpty) live else dominated.max :: live
+          if (pending.isEmpty && keep.isEmpty) state.remove()
+          else {
+            state.update(AsOfState(keep, pending))
+            // revisit this user when the watermark reaches its earliest
+            // buffered purchase (all pending ts > wm, as required)
+            if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_._1).min)
+          }
+          out.iterator
+      }
+  }
+
   /** RocksDB state store for large stateful queries: keeps per-key state
     * off-heap on local disk instead of the executor heap — at 100 TB a
     * sessionizer's state (every open session) dwarfs executor memory;

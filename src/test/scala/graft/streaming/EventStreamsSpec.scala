@@ -130,6 +130,52 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set((4L, 2.0), (4L, 3.0)), s"wrong click set: $got")
   }
 
+  test("streaming as-of join equals the batch AsOfJoin operator row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.5),    // latest click before purchase 4
+      Event(3, ts(5), 1, "click", 2.0),    // same-ts tie: 2.5 must win
+      Event(4, ts(10), 1, "purchase", 9.0),
+      Event(5, ts(20), 1, "click", 3.0),   // after purchase 4, before 8
+      Event(6, ts(1), 2, "purchase", 7.0), // user 2: NO prior click → nulls
+      Event(7, ts(2), 2, "click", 4.0),
+      Event(8, ts(30), 1, "purchase", 8.0),
+      Event(9, ts(40), 2, "purchase", 6.0))
+    val q = EventStreams.asOfClickPurchase(mem.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("asof_out")
+      .start()
+    // two micro-batches split in event-time order (rows behind the
+    // watermark would be dropped as late, as streaming semantics demand):
+    // purchases arrive before the watermark passes them, then later
+    // batches advance the watermark and release them
+    val (batch1, batch2) = events.sortBy(_.ts.getTime).partition(_.ts.getTime <= ts(10).getTime)
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    mem.addData(Event(99, ts(600), 9, "click", 0.0)) // watermark flush
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_out")
+      .select("event_id", "user_id", "purchase_ts", "click_ts", "click_value")
+      .as[(Long, Long, Timestamp, Option[Timestamp], Option[Double])]
+      .collect().toSet
+    val ev = events.toDF()
+    val want = graft.operators.AsOfJoin.backward(
+      ev.filter(col("event_type") === "purchase").select("user_id", "ts", "event_id"),
+      ev.filter(col("event_type") === "click").select("user_id", "ts", "value"),
+      on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      rightCols = Map("ts" -> "click_ts", "value" -> "click_value"))
+      .select("event_id", "user_id", "ts", "click_ts", "click_value")
+      .as[(Long, Long, Timestamp, Option[Timestamp], Option[Double])]
+      .collect().toSet
+    assert(got == want, s"streaming $got vs batch $want")
+    assert(got.contains((4L, 1L, ts(10), Some(ts(5)), Some(2.5)))) // tie-break
+    assert(got.contains((6L, 2L, ts(1), None, None)))              // no prior click
+  }
+
   test("exactly-once sink: batch replay after a mid-batch crash leaves no duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("stream-eo").toString
