@@ -56,4 +56,20 @@ object Sampling {
     df.withColumn("priority", priority(idCol, weightCol))
       .orderBy(col("priority").desc)
       .limit(k)
+
+  /** Stratified deterministic weighted sample: the k highest-priority
+    * rows WITHIN each group (a fixed per-stratum budget, e.g. "5 docs
+    * per source for eval"). One shuffle on the group key, then a
+    * per-group window — the per-partition top-k never sorts the table.
+    * Ties cannot occur in practice (priorities are distinct hash-derived
+    * doubles) but id breaks them totally anyway. */
+  def samplePriorityPerGroup(df: DataFrame, idCol: Column, weightCol: Column,
+      groupCol: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("priority").desc, idCol)
+    df.withColumn("priority", priority(idCol, weightCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

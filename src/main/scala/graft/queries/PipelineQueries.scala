@@ -178,7 +178,21 @@ object PipelineQueries {
       col("doc_id"), col("weight"), k = 25)
       .orderBy(col("priority").desc, col("doc_id"))
 
+  /** Stratified weighted sampling: a fixed 5-doc budget PER SOURCE, the
+    * per-stratum form of q59 (same portable priorities, but the top-k is
+    * a per-group window after one group-key shuffle instead of a global
+    * TakeOrderedAndProject). The eval-set construction pattern: every
+    * source is represented, long docs are favored, and the pick is a
+    * pure function of doc identity. */
+  def q62StratifiedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.samplePriorityPerGroup(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), T.nTokens(col("text")).as("weight")),
+      col("doc_id"), col("weight"), col("source"), k = 5)
+      .orderBy(col("source"), col("priority").desc, col("doc_id"))
+
   val all: Map[String, Q] = Map(
+    "q62_stratified_sample" -> (q62StratifiedSample _),
     "q49_chunk_windows" -> (q49ChunkWindows _),
     "q50_contamination" -> (q50Contamination _),
     "q51_pii_scrub" -> (q51PiiScrub _),
@@ -266,6 +280,14 @@ object PipelineQueries {
          |  FROM d JOIN r ON d.source = r.source AND d.rn = r.rn + 1)
          |SELECT source, doc_id, tok AS n_tokens, shard FROM r
          |ORDER BY source, doc_id""".stripMargin,
+    "q62_stratified_sample" ->
+      s"""WITH w AS (SELECT source, doc_id, len(string_split(text, ' ')) AS weight FROM documents),
+         |p AS (SELECT source, doc_id, CAST(weight AS INTEGER) AS weight,
+         |  CAST(weight AS DOUBLE) / ${T.hashUniformSql("doc_id")} AS priority FROM w),
+         |r AS (SELECT *, row_number() OVER
+         |  (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn FROM p)
+         |SELECT source, doc_id, weight, priority FROM r WHERE rn <= 5
+         |ORDER BY source, priority DESC, doc_id""".stripMargin,
     "q59_weighted_sample" ->
       s"""WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS weight FROM documents),
          |p AS (SELECT doc_id, CAST(weight AS INTEGER) AS weight,

@@ -489,7 +489,28 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Bloom-pruned semi-join (custom operator — see operators.BloomPrune):
+    * revenue of lineitems belonging to 1-URGENT orders, by return flag.
+    * The urgent orderkeys' bloom filter (BloomFilterAggregate, the
+    * primitive behind Spark's AQE runtime filter) prunes the lineitem
+    * scan before the join shuffle; the exact semi-join then removes the
+    * false positives, so the oracle is the plain semi-join. */
+  def q60BloomSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    graft.operators.BloomPrune.semiJoin(
+      Tables.lineitem(s, d), urgent, "l_orderkey", "o_orderkey",
+      expectedItems = 1000000L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
+    "q60_bloom_semi_join" -> (q60BloomSemiJoin _),
     "q28_pivot" -> (q28Pivot _),
     "q29_rollup" -> (q29Rollup _),
     "q42_asof_join" -> (q42AsOf _),
@@ -528,6 +549,13 @@ object Relational {
 
   /** DuckDB twins. Same column names, same ORDER BY, same rounding. */
   val oracle: Map[String, String] = Map(
+    "q60_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q42_asof_join" -> asofOracleSql,
     // q46 runs the same semantics through the custom physical operator;
     // the oracle is identical by design

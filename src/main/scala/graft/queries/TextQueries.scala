@@ -191,7 +191,31 @@ object TextQueries {
       .orderBy("t")
   }
 
+  /** TF-IDF keyword extraction: the 3 most characteristic terms per doc,
+    * tfidf = tf · ln(N/df). Ranking uses the ROUNDED score (+ term as
+    * total tie-break) so both engines rank identical values — ranking on
+    * raw doubles could flip a rank boundary on a last-ulp difference.
+    * Scale shape: tf is one (doc,term) shuffle; df reuses tf's output
+    * (groupBy term) instead of re-scanning tokens; the 1-row N
+    * broadcasts; top-3 is a per-doc window after a doc-keyed shuffle. */
+  def q61TfIdf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") / col("df").cast("double")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q61_tfidf" -> (q61TfIdf _),
     "q30_lang_id" -> (q30LangId _),
     "q31_quality_score" -> (q31Quality _),
     "q32_token_count" -> (q32TokenCount _),
@@ -214,6 +238,18 @@ object TextQueries {
   private val fr = hitsSql("'le','la','et','est','un','une','les','des'")
 
   val oracle: Map[String, String] = Map(
+    "q61_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |  round(tf * ln(n_docs / CAST(df AS DOUBLE)), 4) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s)
+        |SELECT doc_id, term, tf, df, tfidf
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin,
     "q30_lang_id" ->
       s"""WITH h AS (SELECT doc_id,
          |  $de AS hits_de, $en AS hits_en, $es AS hits_es, $fr AS hits_fr

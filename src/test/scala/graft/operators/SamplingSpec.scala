@@ -55,6 +55,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("per-group priority sample takes exactly k per stratum, deterministically") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map(i => (i, s"src${i % 3}", 1L + rnd.nextInt(50)))
+    val df = rows.toDF("id", "src", "w")
+    Seq(1, 16).foreach { parts =>
+      val got = Sampling.samplePriorityPerGroup(
+        df.repartition(parts), col("id"), col("w"), col("src"), 4)
+        .select("src", "id").as[(String, Long)].collect().toSet
+      // independent reference: global priorities, top-4 per group
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+        rs.map { case (id, _, w) =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 12)
+          val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 281474976710657.0
+          (src, id, w / u)
+        }.sortBy(-_._3).take(4).map(t => (t._1, t._2))
+      }.toSet
+      assert(got == want, s"parts=$parts")
+      assert(got.groupBy(_._1).forall(_._2.size == 4))
+    }
+  }
+
   test("rate 0 drops everything; rate 100 is the identity") {
     val df = (0L until 100L).toDF("id")
     assert(Sampling.resample(df, col("id"), lit(0)).count() == 0L)
