@@ -509,7 +509,26 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Z-order cell occupancy (custom operator — see operators.ZOrder):
+    * Morton key of (customer, order-day), aggregated per coarse z-cell.
+    * The key is pure shift/mask arithmetic, so the DuckDB twin
+    * reproduces every bit — the determinism proof for the layout
+    * operator ZOrder.layoutByZOrder clusters files by. */
+  def q63ZOrderCells(s: SparkSession, d: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val keyed = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), epoch).as("day"))
+      .withColumn("z", graft.operators.ZOrder.zKey(
+        Seq(col("o_custkey"), col("day")), bits = 16))
+    keyed.groupBy(shiftright(col("z"), 20).as("z_cell"))
+      .agg(count(lit(1)).as("n_orders"),
+        min("day").as("min_day"), max("day").as("max_day"))
+      .orderBy("z_cell")
+  }
+
   val all: Map[String, Q] = Map(
+    "q63_zorder_cells" -> (q63ZOrderCells _),
     "q60_bloom_semi_join" -> (q60BloomSemiJoin _),
     "q28_pivot" -> (q28Pivot _),
     "q29_rollup" -> (q29Rollup _),
@@ -549,6 +568,16 @@ object Relational {
 
   /** DuckDB twins. Same column names, same ORDER BY, same rounding. */
   val oracle: Map[String, String] = Map(
+    "q63_zorder_cells" -> {
+      val z = graft.operators.ZOrder.zKeySql(
+        Seq("o_custkey", "datediff('day', DATE '1970-01-01', o_orderdate)"), 16)
+      s"""WITH k AS (SELECT o_orderkey,
+         |  datediff('day', DATE '1970-01-01', o_orderdate) AS day,
+         |  $z AS z FROM orders)
+         |SELECT z >> 20 AS z_cell, count(*) AS n_orders,
+         |  min(day) AS min_day, max(day) AS max_day
+         |FROM k GROUP BY z_cell ORDER BY z_cell""".stripMargin
+    },
     "q60_bloom_semi_join" ->
       """SELECT l_returnflag, count(*) AS n_items,
         |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

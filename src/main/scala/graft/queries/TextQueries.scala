@@ -195,16 +195,18 @@ object TextQueries {
     * tfidf = tf · ln(N/df). Ranking uses the ROUNDED score (+ term as
     * total tie-break) so both engines rank identical values — ranking on
     * raw doubles could flip a rank boundary on a last-ulp difference.
-    * Scale shape: tf is one (doc,term) shuffle; df reuses tf's output
-    * (groupBy term) instead of re-scanning tokens; the 1-row N
-    * broadcasts; top-3 is a per-doc window after a doc-keyed shuffle. */
+    * Scale shape: tf is one (doc,term) shuffle; df is a count-window
+    * OVER tf's output (one term-keyed exchange, no join back and no
+    * second token scan); the 1-row N broadcasts; top-3 is a per-doc
+    * window after a doc-keyed exchange. */
   def q61TfIdf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tf = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+    val scored = tf.withColumn("df", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs") / col("df").cast("double")), 4))
     val w = org.apache.spark.sql.expressions.Window
