@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{PipelineQueries, Relational, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, PipelineQueries, Relational, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,12 +18,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ TextQueries.all ++ VectorQueries.all ++ PipelineQueries.all
+    Relational.all ++ TextQueries.all ++ VectorQueries.all ++ PipelineQueries.all ++
+      AnalyticsQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++ PipelineQueries.oracle
+    Relational.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++ PipelineQueries.oracle ++
+      AnalyticsQueries.oracle
 
   /** Headline subset used by Bench (fast, scale-representative).
     *

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Fixed-iteration PageRank in pure integer arithmetic.
+  *
+  * Floating-point PageRank is order-dependent (FP addition does not
+  * associate), so two engines — or two runs with different partition
+  * counts — disagree in the last ulp and a bit-exact oracle compare is
+  * impossible. Here every rank is a Long scaled by `scale` (default
+  * 1e12), the damping factor 0.85 is `(85 * x) / 100` with integral
+  * division, and per-edge shares are `rank / outdeg` with integral
+  * division. Long addition is exact and commutative, so the result is
+  * bit-identical regardless of partitioning, engine, or summation
+  * order — a DuckDB twin unrolling the same iterations reproduces every
+  * rank exactly (the small mass lost to integral division is lost
+  * identically in both engines).
+  *
+  * Scale shape: each iteration is one shuffle-join of ranks with edges
+  * on `src` plus one aggregation on `dst` — the standard distributed
+  * PageRank step. `edges` and the out-degree table are persisted since
+  * every iteration re-reads them; ranks are persisted per-iteration so
+  * the unrolled lineage is never recomputed. Node count `n` is a scalar
+  * aggregate collected to the driver (one Long — the same bounded
+  * pattern as the IVF centroid collect, Similarity.scala).
+  */
+object PageRank {
+
+  val Scale = 1000000000000L // 1e12: rank unit = 1e-12
+
+  /** Ranks after `iters` damped iterations over the directed edge list
+    * `edges` (columns `src`, `dst`; pass both directions for an
+    * undirected graph). Only nodes with at least one outgoing edge are
+    * ranked (with undirected input that is every node). Returns
+    * (node: Long, rank: Long), rank scaled by [[Scale]].
+    *
+    * next(v) = (15 * (Scale/n)) / 100  +  (85 * Σ_{u→v} rank(u)/outdeg(u)) / 100
+    * with every division integral.
+    */
+  def ranks(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count() // scalar to driver: bounded, documented
+    val init = Scale / n
+    val base = (15L * init) / 100L
+    var ranks = deg.select(col("src").as("node"), lit(init).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .groupBy("dst")
+        .agg(sum(expr("rank div outdeg")).as("insum"))
+      val next = contrib
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * insum) div 100")).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ranks = next
+    }
+    ranks
+  }
+
+  /** DuckDB twin of [[ranks]]: unrolled CTE chain with identical integer
+    * arithmetic (`//` integral division; sums cast back to BIGINT since
+    * DuckDB widens sum(BIGINT) to HUGEINT). `edgesSql` must yield
+    * columns (src, dst) including both directions if undirected. */
+  def ranksSql(edgesSql: String, iters: Int): String = {
+    require(iters >= 1)
+    val head =
+      s"""WITH e AS ($edgesSql),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |consts AS (SELECT ${Scale}::BIGINT // count(*) AS init,
+         |  (15 * (${Scale}::BIGINT // count(*))) // 100 AS base FROM deg),
+         |r0 AS (SELECT src AS node, init AS rank FROM deg, consts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  (SELECT base FROM consts) +
+         |    (85 * CAST(sum(r.rank // d.outdeg) AS BIGINT)) // 100 AS rank
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") + s"\nSELECT node, rank FROM r$iters"
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.PageRank
+
+/** OLAP + event-analytics + graph-centrality queries: multi-level
+  * aggregation (ROLLUP / pivot), ordered-sequence funnel, cohort
+  * retention, and fixed-iteration PageRank. These round out the
+  * warehouse surface a training-data platform shares with classic BI:
+  * the same engine that dedups the corpus also answers "how do users
+  * move through the product" and "which nodes anchor the graph".
+  *
+  * Every query has an exact DuckDB twin. PageRank is bit-exact across
+  * engines because all rank arithmetic is integral ([[PageRank]]).
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** ROLLUP over (returnflag, linestatus) with grouping_id: detail rows,
+    * per-flag subtotals, and the grand total in one pass. Spark plans a
+    * single Expand + hash aggregate — each input row is replicated once
+    * per grouping set map-side, so the shuffle carries pre-combined
+    * partials and no second pass over the fact table is needed. At
+    * 100 TB that beats UNIONing three separate aggregations 3x on scan
+    * cost alone. grouping_id cast to INT on both sides (Spark's default
+    * is LongType; DuckDB GROUPING returns INTEGER). */
+  def q64Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Pivot: one row per linestatus, one quantity-sum column per
+    * returnflag. The pivot values are LISTED explicitly — Spark then
+    * plans a single aggregation with conditional partials (no extra
+    * pass to discover values, no driver-side distinct collect), exactly
+    * the FILTERed-aggregate form of the DuckDB twin. */
+  def q65Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 2))
+      .select(col("l_linestatus"), col("A").as("qty_a"),
+        col("N").as("qty_n"), col("R").as("qty_r"))
+      .orderBy("l_linestatus")
+
+  /** Ordered-sequence funnel over events: per user, the earliest view,
+    * the earliest click STRICTLY AFTER that view, and the earliest
+    * purchase strictly after that click; `stage` = how deep the user
+    * got (0-3). Each stage is a min-aggregation on user_id — map-side
+    * combinable, and all four frames shuffle on the SAME key so AQE
+    * coalesces them onto one exchange layout. No window over the full
+    * event history and no per-user collect: state per user is one
+    * timestamp per stage regardless of event volume. */
+  def q66Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val users = ev.select("user_id").distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("view_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("view_ts"))
+      .groupBy("user_id").agg(min("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("click_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("purchase_ts").isNotNull, 3)
+          .when(col("click_ts").isNotNull, 2)
+          .when(col("view_ts").isNotNull, 1)
+          .otherwise(0).cast("int"))
+      .orderBy("user_id")
+  }
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * first event; for each (cohort_week, week_offset) the count of
+    * cohort members active that week. Two aggregations on user_id /
+    * (user_id, week) then one count-distinct — the distinct happens on
+    * the already-deduped (user, week) pairs so the heavy input shuffles
+    * once. Weeks emitted as ISO `yyyy-MM-dd` STRINGS on both sides:
+    * engines and dataframe bridges disagree on DATE vs TIMESTAMP
+    * rendering (DuckDB date_trunc returns TIMESTAMP, pandas widens
+    * DATE to datetime64), and a string column has exactly one
+    * canonical form. */
+  def q67CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "ts")
+    val cohort = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min("ts"))).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .withColumn("week_offset",
+        floor(datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** PageRank iterations (kept small: the plan unrolls per iteration). */
+  val PrIters = 5
+
+  /** PageRank over the supplier↔part bipartite graph (edge = "supplier
+    * ships part", both directions, node ids disjoint via 2k / 2k+1).
+    * Integer-arithmetic ranks ([[PageRank.ranks]]) so the DuckDB twin
+    * reproduces every rank bit-for-bit — no FP summation order
+    * dependence. Output ordered by node (rank ties are common in a
+    * regular bipartite graph, so rank alone is not a total order). */
+  def q68PageRank(s: SparkSession, d: String): DataFrame = {
+    val sp = Tables.lineitem(s, d)
+      .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+    PageRank.ranks(s, edges, PrIters).orderBy("node")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q64_rollup" -> (q64Rollup _),
+    "q65_pivot" -> (q65Pivot _),
+    "q66_funnel" -> (q66Funnel _),
+    "q67_cohort_retention" -> (q67CohortRetention _),
+    "q68_pagerank" -> (q68PageRank _))
+
+  private val prEdgesSql =
+    """SELECT src, dst FROM (
+      |  SELECT DISTINCT l_suppkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem) b
+      |UNION ALL
+      |SELECT dst, src FROM (
+      |  SELECT DISTINCT l_suppkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem) b""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q64_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity),2) AS sum_qty,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |count(*) AS n,
+        |CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q65_pivot" ->
+      """SELECT l_linestatus,
+        |round(sum(l_quantity) FILTER (WHERE l_returnflag='A'),2) AS qty_a,
+        |round(sum(l_quantity) FILTER (WHERE l_returnflag='N'),2) AS qty_n,
+        |round(sum(l_quantity) FILTER (WHERE l_returnflag='R'),2) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q66_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS view_ts FROM events
+        |      WHERE event_type='view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type='click' AND e.ts > v.view_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type='purchase' AND e.ts > c.click_ts GROUP BY e.user_id)
+        |SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        |CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+        |          WHEN c.click_ts IS NOT NULL THEN 2
+        |          WHEN v.view_ts IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    "q67_cohort_retention" ->
+      """WITH cohort AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |                FROM events GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events)
+        |SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |CAST(date_diff('day', c.cohort_week, a.week)//7 AS INT) AS week_offset,
+        |count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q68_pagerank" ->
+      (PageRank.ranksSql(prEdgesSql, PrIters) + "\nORDER BY node"))
+}
