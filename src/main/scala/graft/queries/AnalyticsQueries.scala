@@ -1,8 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.{TextFunctions => T}
 import graft.operators.PageRank
 
 /** OLAP + event-analytics + graph-centrality queries: multi-level
@@ -128,12 +130,106 @@ object AnalyticsQueries {
     PageRank.ranks(s, edges, PrIters).orderBy("node")
   }
 
+  /** Tokens of the encoded prefix in [[q70Encode]]. */
+  val EncodePrefix = 16
+
+  /** Frequency-ranked vocabulary over the document corpus: token ->
+    * (freq, id), id dense from 1 in (freq desc, token) order — the
+    * "build the tokenizer vocab" step. The corpus-scale work is one
+    * explode + count aggregation (map-side combinable); the global
+    * row_number window then ranks only |vocab| rows, which Heaps' law
+    * keeps orders of magnitude below corpus size (Web-scale corpora:
+    * ~10^6-10^7 types vs 10^12 tokens), so the single-partition window
+    * is dictionary-scale, same as q11's documented rank. */
+  def q69Vocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(T.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+      .orderBy("id")
+
+  /** Token-id encoding: each document's first [[EncodePrefix]] tokens
+    * mapped through the [[q69Vocab]] dictionary, emitted as a
+    * comma-joined id string (a string is canonical across engines;
+    * array renderings differ). The vocab is broadcast — corpus rows
+    * never shuffle for the lookup; per-doc order is restored by sorting
+    * the collected (pos, id) structs, not by assuming shuffle order. */
+  def q70Encode(s: SparkSession, d: String): DataFrame = {
+    val vocab = q69Vocab(s, d).select("token", "id")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(slice(T.tokens(col("text")), 1, EncodePrefix)))
+      .toDF("doc_id", "pos", "token")
+    toks.join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            (x: Column) => x.getField("id").cast("string")), ",").as("ids"),
+        count(lit(1)).as("n_prefix_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Length deciles via ntile(10): balanced buckets over a TOTAL integer
+    * order (n_chars desc, doc_id) — integer keys so no FP boundary can
+    * flip a bucket between engines. ntile needs a global order: at
+    * corpus scale compose range-partitioned sort + per-partition offsets
+    * (the q11 note); here the window is the documented global form. */
+  def q71LengthDeciles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        ntile(10).over(Window.orderBy(col("n_chars").desc, col("doc_id")))
+          .as("decile"))
+      .orderBy("doc_id")
+
+  /** Reconciliation via FULL OUTER join: per-customer order counts in
+    * the two halves of the date range, customers present in either
+    * half, labeled both/first_only/second_only. Both aggregates and the
+    * join share the o_custkey key — one shuffle layout end to end. */
+  def q72Reconcile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val cut = lit("1998-01-01").cast("timestamp")
+    val h1 = o.filter(col("o_orderdate") < cut)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_h1"))
+    val h2 = o.filter(col("o_orderdate") >= cut)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_h2"))
+    h1.join(h2, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_h1"), lit(0L)).as("n_h1"),
+        coalesce(col("n_h2"), lit(0L)).as("n_h2"),
+        when(col("n_h1").isNotNull && col("n_h2").isNotNull, "both")
+          .when(col("n_h1").isNotNull, "first_only")
+          .otherwise("second_only").as("status"))
+      .orderBy("o_custkey")
+  }
+
+  /** Set operations INTERSECT / EXCEPT: part keys shipped under
+    * returnflag A vs R, labeled by membership. Spark plans set ops as
+    * aggregations/anti-joins on the compared columns — same shuffle
+    * cost as a distinct, no row-by-row driver logic. */
+  def q73SetOps(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def keys(flag: String) =
+      li.filter(col("l_returnflag") === flag).select("l_partkey").distinct()
+    val a = keys("A"); val r = keys("R")
+    a.intersect(r).withColumn("status", lit("both"))
+      .union(a.except(r).withColumn("status", lit("a_only")))
+      .union(r.except(a).withColumn("status", lit("r_only")))
+      .orderBy("l_partkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q64_rollup" -> (q64Rollup _),
     "q65_pivot" -> (q65Pivot _),
     "q66_funnel" -> (q66Funnel _),
     "q67_cohort_retention" -> (q67CohortRetention _),
-    "q68_pagerank" -> (q68PageRank _))
+    "q68_pagerank" -> (q68PageRank _),
+    "q69_vocab" -> (q69Vocab _),
+    "q70_encode" -> (q70Encode _),
+    "q71_length_deciles" -> (q71LengthDeciles _),
+    "q72_reconcile" -> (q72Reconcile _),
+    "q73_setops" -> (q73SetOps _))
 
   private val prEdgesSql =
     """SELECT src, dst FROM (
@@ -185,5 +281,53 @@ object AnalyticsQueries {
         |FROM active a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q68_pagerank" ->
-      (PageRank.ranksSql(prEdgesSql, PrIters) + "\nORDER BY node"))
+      (PageRank.ranksSql(prEdgesSql, PrIters) + "\nORDER BY node"),
+    "q69_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
+        |SELECT token, freq,
+        |CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS id
+        |FROM tf ORDER BY id""".stripMargin,
+    "q70_encode" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, t.tok AS token, t.pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents) t
+        |  WHERE t.pos <= $EncodePrefix),
+        |tf AS (SELECT token, count(*) AS freq FROM
+        |       (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |       GROUP BY token),
+        |vocab AS (SELECT token,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS id FROM tf)
+        |SELECT tok.doc_id,
+        |string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY tok.pos) AS ids,
+        |count(*) AS n_prefix_tokens
+        |FROM tok JOIN vocab v ON tok.token = v.token
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+    "q71_length_deciles" ->
+      """SELECT doc_id, n_chars,
+        |CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q72_reconcile" ->
+      """WITH h1 AS (SELECT o_custkey, count(*) AS n_h1 FROM orders
+        |            WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey),
+        |h2 AS (SELECT o_custkey, count(*) AS n_h2 FROM orders
+        |       WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY o_custkey)
+        |SELECT coalesce(h1.o_custkey, h2.o_custkey) AS o_custkey,
+        |coalesce(h1.n_h1, 0) AS n_h1, coalesce(h2.n_h2, 0) AS n_h2,
+        |CASE WHEN h1.o_custkey IS NOT NULL AND h2.o_custkey IS NOT NULL THEN 'both'
+        |     WHEN h1.o_custkey IS NOT NULL THEN 'first_only'
+        |     ELSE 'second_only' END AS status
+        |FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q73_setops" ->
+      """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag='A'),
+        |r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag='R')
+        |SELECT l_partkey, 'both' AS status FROM (SELECT * FROM a INTERSECT SELECT * FROM r)
+        |UNION ALL
+        |SELECT l_partkey, 'a_only' AS status FROM (SELECT * FROM a EXCEPT SELECT * FROM r)
+        |UNION ALL
+        |SELECT l_partkey, 'r_only' AS status FROM (SELECT * FROM r EXCEPT SELECT * FROM a)
+        |ORDER BY l_partkey""".stripMargin)
 }

@@ -79,6 +79,76 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q69 vocab ids are dense, frequency-ranked, and conserve token count") {
+    val rows = AnalyticsQueries.q69Vocab(spark, d)
+      .as[(String, Long, Int)].collect()
+    assert(rows.map(_._3).toList == (1 to rows.length).toList, "ids dense from 1")
+    val freqsInIdOrder = rows.sortBy(_._3).map(_._2)
+    assert(freqsInIdOrder.zip(freqsInIdOrder.tail).forall { case (a, b) => a >= b },
+      "freq non-increasing in id order")
+    val totalTokens = graft.core.Tables.documents(spark, d)
+      .select(sum(size(split(col("text"), " ")))).as[Long].head()
+    assert(rows.map(_._2).sum == totalTokens, "vocab frequencies conserve the corpus")
+  }
+
+  test("q70 encoding round-trips to the original token prefix") {
+    val vocab = AnalyticsQueries.q69Vocab(spark, d)
+      .as[(String, Long, Int)].collect().map(r => r._3 -> r._1).toMap
+    val enc = AnalyticsQueries.q70Encode(spark, d)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(enc.size == docs.length, "every document encodes")
+    docs.foreach { case (id, text) =>
+      val prefix = text.split(" ", -1).take(AnalyticsQueries.EncodePrefix).toSeq
+      val (_, ids, n) = enc(id)
+      assert(n == prefix.length, s"doc $id prefix length")
+      val decoded = ids.split(",").toSeq.map(i => vocab(i.toInt))
+      assert(decoded == prefix, s"doc $id decode mismatch")
+    }
+  }
+
+  test("q71 deciles match a locally computed ntile over the same total order") {
+    val rows = AnalyticsQueries.q71LengthDeciles(spark, d)
+      .as[(Long, Long, Int)].collect()
+    val n = rows.length
+    val sorted = rows.sortBy(r => (-r._2, r._1))
+    // ntile semantics: first (n % 10) buckets get one extra row
+    val base = n / 10; val extra = n % 10
+    val expected = sorted.zipWithIndex.map { case (r, i) =>
+      val cut = (base + 1) * extra
+      val bucket = if (i < cut) i / (base + 1) + 1 else (i - cut) / base + extra + 1
+      r._1 -> bucket
+    }.toMap
+    rows.foreach { case (id, _, dec) => assert(dec == expected(id), s"doc $id") }
+  }
+
+  test("q72 full-outer reconciliation conserves orders and labels correctly") {
+    val rows = AnalyticsQueries.q72Reconcile(spark, d)
+      .as[(Long, Long, Long, String)].collect()
+    val total = graft.core.Tables.orders(spark, d).count()
+    assert(rows.map(r => r._2 + r._3).sum == total, "every order counted once")
+    rows.foreach { case (k, h1, h2, st) =>
+      val want = if (h1 > 0 && h2 > 0) "both" else if (h1 > 0) "first_only" else "second_only"
+      assert(st == want, s"custkey $k")
+      assert(h1 > 0 || h2 > 0, s"custkey $k present with no orders")
+    }
+    assert(rows.map(_._4).distinct.length >= 2, "fixture must exercise >1 label")
+  }
+
+  test("q73 set-op labels agree with Scala set algebra") {
+    val li = graft.core.Tables.lineitem(spark, d)
+    def keys(f: String) = li.filter(col("l_returnflag") === f)
+      .select("l_partkey").as[Long].collect().toSet
+    val a = keys("A"); val r = keys("R")
+    val got = AnalyticsQueries.q73SetOps(spark, d)
+      .as[(Long, String)].collect().groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    assert(got.getOrElse("both", Set.empty) == (a intersect r))
+    assert(got.getOrElse("a_only", Set.empty) == (a diff r))
+    assert(got.getOrElse("r_only", Set.empty) == (r diff a))
+  }
+
   test("q68 pagerank matches an independent in-memory integer PageRank exactly") {
     val sp = graft.core.Tables.lineitem(spark, d)
       .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
