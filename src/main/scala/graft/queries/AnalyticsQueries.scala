@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.PageRank
+import graft.operators.{CoOccur, PageRank, Triangles}
 
 /** OLAP + event-analytics + graph-centrality queries: multi-level
   * aggregation (ROLLUP / pivot), ordered-sequence funnel, cohort
@@ -219,7 +219,62 @@ object AnalyticsQueries {
       .orderBy("l_partkey")
   }
 
+  /** Edge budget for [[q74Triangles]] — the top-k bound that keeps the
+    * triangle join constant-size at any corpus scale. */
+  val TriEdges = 2000
+
+  /** Per-supplier triangle counts among the [[TriEdges]] strongest
+    * co-supply relationships (q21's capped pair graph ranked by
+    * shared_parts desc, ties on (s1,s2)). The top-k bound is the scale
+    * control: the co-supply graph of a uniform catalog approaches
+    * completeness (C(n,2) edges) where full triangle enumeration is
+    * cubic — ranking edges first turns "triangles in a 100 TB-derived
+    * graph" into a constant-size broadcast-joinable problem, and the
+    * deterministic total order keeps the DuckDB twin exact. */
+  def q74Triangles(s: SparkSession, d: String): DataFrame = {
+    val top = CoOccur.pairs(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
+        minShared = 2L, maxItemsPerKey = 64L)
+      .orderBy(col("shared_keys").desc, col("item_a"), col("item_b"))
+      .limit(TriEdges)
+      .select(col("item_a").as("a"), col("item_b").as("b"))
+    Triangles.perVertex(broadcast(top))
+      .withColumnRenamed("node", "l_suppkey")
+      .orderBy("l_suppkey")
+  }
+
+  /** Incremental aggregate maintenance: per-priority order counts and
+    * revenue from MERGED partial aggregates (base half + delta half)
+    * cross-checked in-pass against a full recompute. Money sums run in
+    * DECIMAL(18,2) — decimal addition is exact and associative, so
+    * merge ≡ recompute bit-for-bit and the `matches_full` booleans are
+    * deterministic in both engines. This is the 100 TB maintenance
+    * pattern: a day's delta re-aggregates alone and merges into
+    * yesterday's partials — the historical table is never rescanned. */
+  def q75IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderpriority").as("priority"),
+      col("o_orderdate"), col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val cut = lit("1998-01-01").cast("timestamp")
+    def agg(df: DataFrame) = df.groupBy("priority")
+      .agg(count(lit(1)).as("n"), sum("price").as("total"))
+    val merged = agg(o.filter(col("o_orderdate") < cut))
+      .union(agg(o.filter(col("o_orderdate") >= cut)))
+      .groupBy("priority")
+      .agg(sum("n").as("n_merged"), sum("total").cast("decimal(18,2)").as("total_merged"))
+    val full = agg(o).select(col("priority"),
+      col("n").as("n_full"), col("total").cast("decimal(18,2)").as("total_full"))
+    merged.join(full, "priority")
+      .select(col("priority"), col("n_merged"),
+        // compare in DECIMAL (exact); EMIT as double — decimal columns
+        // render differently across the pandas bridges (Decimal vs f64)
+        col("total_merged").cast("double").as("total_merged"),
+        (col("n_merged") === col("n_full") &&
+          col("total_merged") === col("total_full")).as("matches_full"))
+      .orderBy("priority")
+  }
+
   val all: Map[String, Q] = Map(
+    "q74_triangles" -> (q74Triangles _),
+    "q75_incremental_agg" -> (q75IncrementalAgg _),
     "q64_rollup" -> (q64Rollup _),
     "q65_pivot" -> (q65Pivot _),
     "q66_funnel" -> (q66Funnel _),
@@ -239,6 +294,40 @@ object AnalyticsQueries {
       |  SELECT DISTINCT l_suppkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem) b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q74_triangles" ->
+      s"""WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ps AS (SELECT * FROM ps0 WHERE l_partkey IN (
+        |  SELECT l_partkey FROM ps0 GROUP BY l_partkey HAVING count(*) <= 64)),
+        |pairs AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS shared_parts
+        |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY s1, s2 HAVING count(*) >= 2),
+        |top AS (SELECT s1 AS a, s2 AS b FROM pairs
+        |        ORDER BY shared_parts DESC, s1, s2 LIMIT $TriEdges),
+        |tri AS (SELECT ab.a AS x, ab.b AS y, ac.b AS z
+        |  FROM top ab JOIN top ac ON ab.a = ac.a AND ab.b < ac.b
+        |  JOIN top bc ON bc.a = ab.b AND bc.b = ac.b),
+        |nodes AS (SELECT x AS node FROM tri UNION ALL
+        |          SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT node AS l_suppkey, count(*) AS n_triangles
+        |FROM nodes GROUP BY node ORDER BY l_suppkey""".stripMargin,
+    "q75_incremental_agg" ->
+      """WITH o AS (SELECT o_orderpriority AS priority, o_orderdate,
+        |           CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |base AS (SELECT priority, count(*) AS n, sum(price) AS total FROM o
+        |         WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY priority),
+        |delta AS (SELECT priority, count(*) AS n, sum(price) AS total FROM o
+        |          WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY priority),
+        |merged AS (SELECT priority, CAST(sum(n) AS BIGINT) AS n_merged,
+        |           CAST(sum(total) AS DECIMAL(18,2)) AS total_merged
+        |           FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        |           GROUP BY priority),
+        |filled AS (SELECT priority, count(*) AS n_full,
+        |           CAST(sum(price) AS DECIMAL(18,2)) AS total_full FROM o GROUP BY priority)
+        |SELECT m.priority, m.n_merged,
+        |CAST(m.total_merged AS DOUBLE) AS total_merged,
+        |(m.n_merged = f.n_full AND m.total_merged = f.total_full) AS matches_full
+        |FROM merged m JOIN filled f ON m.priority = f.priority
+        |ORDER BY m.priority""".stripMargin,
     "q64_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity),2) AS sum_qty,

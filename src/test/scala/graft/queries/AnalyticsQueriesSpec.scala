@@ -149,6 +149,40 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(got.getOrElse("r_only", Set.empty) == (r diff a))
   }
 
+  test("q74 per-node triangle counts match in-memory enumeration of the same edges") {
+    val top = graft.operators.CoOccur.pairs(
+        graft.core.Tables.lineitem(spark, d), "l_partkey", "l_suppkey",
+        minShared = 2L, maxItemsPerKey = 64L)
+      .orderBy(col("shared_keys").desc, col("item_a"), col("item_b"))
+      .limit(AnalyticsQueries.TriEdges)
+      .select("item_a", "item_b").as[(Long, Long)].collect()
+    val edgeSet = top.toSet
+    val perNode = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- top; (a2, c) <- top
+      if a2 == a && b < c && edgeSet.contains((b, c))
+    } { perNode(a) += 1; perNode(b) += 1; perNode(c) += 1 }
+    val got = AnalyticsQueries.q74Triangles(spark, d)
+      .as[(Long, Long)].collect().toMap
+    assert(got == perNode.toMap, "triangle counts must match brute-force enumeration")
+    assert(got.nonEmpty, "fixture graph must contain triangles")
+  }
+
+  test("q75 merged partials equal the full recompute, and booleans say so") {
+    val rows = AnalyticsQueries.q75IncrementalAgg(spark, d)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4), "decimal merge must equal full recompute exactly")
+    val full = graft.core.Tables.orders(spark, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("t"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (p, n, t, _) =>
+      assert((n, t) == full(p), s"priority $p")
+    }
+  }
+
   test("q68 pagerank matches an independent in-memory integer PageRank exactly") {
     val sp = graft.core.Tables.lineitem(spark, d)
       .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
