@@ -30,15 +30,16 @@ object SparkEntry {
   /** Headline subset used by Bench (fast, scale-representative).
     *
     * The first 12 names are the round-1/2 set — their per-query numbers
-    * stay comparable across BENCH_r* artifacts. Round 3 appends the four
+    * stay comparable across BENCH_r* artifacts. Round 3 appends the six
     * scale-interesting new operators (iterative connected components,
-    * LSH-blocked embedding near-dup, contamination join, greedy packing);
-    * the "total" metric therefore covers 16 queries from round 3 on. */
+    * LSH-blocked embedding near-dup, contamination join, greedy packing,
+    * iterative integer PageRank, top-k triangle counting); the "total"
+    * metric therefore covers 18 queries from late round 3 on. */
   def headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q07_multi_join",
     "q10_argmax_window", "q13_hindex", "q19_running_sum",
     "q21_cosupply_pairs", "q25_tumbling_window", "q27_sessionize",
     "q33_dedup_exact", "q38_knn_bruteforce", "q42_asof_join",
     "q40_embed_neardup", "q44_dedup_clusters", "q50_contamination",
-    "q54_pack_shards")
+    "q54_pack_shards", "q68_pagerank", "q74_triangles")
 }

@@ -186,6 +186,86 @@ object EventStreams {
       }
   }
 
+  /** Funnel stage advance: user reached `stage` (1=view, 2=click,
+    * 3=purchase) at event time `stage_ts`. */
+  case class FunnelHit(user_id: Long, stage: Int, stage_ts: Timestamp)
+
+  /** Timestamp ↔ epoch-micros (Timestamp.getTime is millis — using it
+    * as the event-time key would truncate the fixture's microsecond
+    * precision and diverge from the batch twin's strict comparisons). */
+  private def tsMicros(t: Timestamp): Long =
+    (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  /** Funnel accumulator: ripe-ordered fold results + the not-yet-ripe
+    * event buffer (public: Catalyst codegen instantiates it). */
+  case class FunnelState(buffer: List[(Long, Long, String)],
+      view: Option[Long], click: Option[Long], purchase: Option[Long])
+
+  /** Streaming view→click→purchase funnel — the streaming twin of
+    * AnalyticsQueries.q66Funnel, batch-identical regardless of how
+    * events split into micro-batches or arrive out of order within the
+    * watermark delay.
+    *
+    * Correct cross-batch semantics need ORDERED processing: a click in
+    * batch 1 may be preceded by a view that only arrives in batch 2, so
+    * events are buffered in state and folded in (ts, event_id) order
+    * only once the watermark passes them — the same emit-on-watermark
+    * discipline as [[asOfClickPurchase]]. The fold advances each stage
+    * at its FIRST qualifying event (click strictly after the first
+    * view, purchase strictly after that click — processing in event
+    * order makes "first qualifying" ≡ the batch min-aggregation), and
+    * emits a [[FunnelHit]] per advance: at most 3 rows per user ever.
+    * State is the ripe fold (3 options) + only the sub-watermark-delay
+    * event buffer — bounded by per-user event rate × delay, evicted by
+    * event-time timeout. */
+  def funnel(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "click" ||
+        e.event_type == "purchase")
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(Nil, None, None, None))
+          val buffer = prev.buffer ++
+            rows.map(e => (tsMicros(e.ts), e.event_id, e.event_type))
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, pending) = buffer.partition(_._1 / 1000 <= wm)
+          var (view, click, purchase) = (prev.view, prev.click, prev.purchase)
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+          ripe.sortBy(e => (e._1, e._2)).foreach { case (t, _, tpe) =>
+            tpe match {
+              case "view" if view.isEmpty =>
+                view = Some(t); out += FunnelHit(userId, 1, microsTs(t))
+              case "click" if click.isEmpty && view.exists(_ < t) =>
+                click = Some(t); out += FunnelHit(userId, 2, microsTs(t))
+              case "purchase" if purchase.isEmpty && click.exists(_ < t) =>
+                purchase = Some(t); out += FunnelHit(userId, 3, microsTs(t))
+              case _ => ()
+            }
+          }
+          // the fold fields persist for the user's lifetime (3 longs —
+          // the same state a batch re-aggregation would carry): removing
+          // them after stage 3 would let a later view restart the funnel
+          // and re-emit stages, diverging from the batch min-aggregation
+          val keep = if (purchase.nonEmpty) Nil else pending // done: drop buffer
+          state.update(FunnelState(keep, view, click, purchase))
+          // revisit when the watermark reaches the earliest buffered
+          // event (all pending ts > wm by construction; timeout is in ms
+          // — round UP so the timeout really is past the buffered event)
+          if (keep.nonEmpty) state.setTimeoutTimestamp(keep.map(_._1).min / 1000 + 1)
+          out.iterator
+      }
+  }
+
   /** RocksDB state store for large stateful queries: keeps per-key state
     * off-heap on local disk instead of the executor heap — at 100 TB a
     * sessionizer's state (every open session) dwarfs executor memory;

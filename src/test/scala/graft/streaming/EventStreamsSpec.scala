@@ -289,4 +289,77 @@ class EventStreamsSpec extends SparkSpec {
       EventStreams.SessionOut(1L, ts(60), 1, 3.0),  // flushed by timeout
       EventStreams.SessionOut(2L, ts(5), 1, 5.0)))  // flushed by timeout
   }
+
+  test("streaming funnel: out-of-order arrivals fold in event order; no restart after stage 3") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.funnel(mem.toDS(), watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("funnel_out")
+      .start()
+    // user 1: click ARRIVES before its view but is AFTER it in event time
+    // (must count once the watermark releases both, folded in ts order);
+    // a click at the view's exact ts must NOT count (strictly-after).
+    // user 2: purchase with no prior click → stuck at stage 1.
+    mem.addData(
+      Event(1, ts(5), 1, "click", 1.0),     // arrives first, event-time later
+      Event(2, ts(3), 1, "view", 0.0),
+      Event(3, ts(3), 1, "click", 0.5),     // same-ts click: not strictly after
+      Event(4, ts(2), 2, "view", 0.0),
+      Event(5, ts(6), 2, "purchase", 9.0))  // no click yet → no advance
+    q.processAllAvailable()
+    mem.addData(Event(6, ts(30), 1, "purchase", 5.0))
+    q.processAllAvailable()
+    // user 1 completed at stage 3; a later view/click/purchase cycle must
+    // NOT restart the funnel or emit again
+    mem.addData(Event(7, ts(40), 1, "view", 0.0),
+      Event(8, ts(41), 1, "click", 0.0), Event(9, ts(42), 1, "purchase", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(99, ts(600), 9, "view", 0.0)) // watermark flush
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_out")
+      .as[EventStreams.FunnelHit].collect().toSet
+    assert(got == Set(
+      EventStreams.FunnelHit(1, 1, ts(3)),
+      EventStreams.FunnelHit(2, 1, ts(2)),
+      EventStreams.FunnelHit(1, 2, ts(5)),
+      EventStreams.FunnelHit(1, 3, ts(30))), s"got $got")
+    // the flush sentinel itself stays buffered: the watermark never
+    // passes the stream's max event time
+  }
+
+  test("streaming funnel equals the batch q66 funnel on the sf0.001 fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.funnel(mem.toDS(), watermarkDelay = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("funnel_fix")
+      .start()
+    // feed in three event-time-ordered chunks (cross-chunk disorder would
+    // be late-dropped at this delay; in-chunk order is irrelevant)
+    fixture.grouped((fixture.length + 2) / 3).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    val last = fixture.last.ts.getTime
+    mem.addData(Event(-1, new Timestamp(last + 3600000L), -9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("funnel_fix").as[EventStreams.FunnelHit].collect()
+      .filter(_.user_id >= 0)
+    val byUser = hits.groupBy(_.user_id)
+    val batch = graft.queries.AnalyticsQueries.q66Funnel(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("purchase_ts"),
+        col("stage"))
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp], Int)]
+      .collect()
+    batch.foreach { case (u, v, c, p, stage) =>
+      val mine = byUser.getOrElse(u, Array.empty).map(h => h.stage -> h.stage_ts).toMap
+      assert(mine.size == stage, s"user $u: ${mine.size} hits vs batch stage $stage")
+      assert(mine.get(1) == v && mine.get(2) == c && mine.get(3) == p,
+        s"user $u timestamps diverge: $mine vs ($v, $c, $p)")
+    }
+    assert(batch.exists(_._5 == 3), "fixture must contain full conversions")
+  }
 }
