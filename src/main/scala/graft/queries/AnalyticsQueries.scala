@@ -272,7 +272,73 @@ object AnalyticsQueries {
       .orderBy("priority")
   }
 
+  /** Dispersion statistics per group: sample stddev/variance,
+    * correlation and covariance of quantity vs extended price — the
+    * single-pass moment aggregates (Welford-style partials merge
+    * map-side like any agg). Rounded to absorb FP partial-order
+    * differences between engines, same as q01's sums. */
+  def q76Dispersion(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Edit-distance threshold for [[q77EditDist]]. */
+  val EditMax = 4
+
+  /** Fuzzy name matching: pairs of DISTINCT part names sharing the same
+    * final word (the blocking key), within levenshtein <= [[EditMax]].
+    * The classic record-linkage shape — block first, compare within
+    * blocks — with the scale control that comparisons run over the
+    * NAME VOCABULARY, not rows: part names repeat heavily, so distinct
+    * names are catalog-vocabulary-bounded while the part table grows
+    * with the corpus. levenshtein is integer-valued — bit-exact across
+    * engines, no FP rounding in the compare. */
+  def q77EditDist(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .select(col("p_name").as("name"),
+        element_at(split(col("p_name"), " "), -1).as("block"))
+      .distinct()
+    val a = names.select(col("block"), col("name").as("name_a"))
+    val b = names.select(col("block"), col("name").as("name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= EditMax)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Time-series gap filling: hourly event counts per type on a dense
+    * hour spine — missing (hour, type) cells become explicit zero rows
+    * (resampling for downstream models that need regular series). The
+    * spine is generated from the 1-row min/max aggregate (sequence +
+    * explode — no driver loop) and cross-joined with the distinct type
+    * set: both sides are tiny, the corpus-scale work is the one hourly
+    * aggregation. */
+  def q78GapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+    val spine = ev.agg(min("hour").as("lo"), max("hour").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    val counts = ev.groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+    spine.crossJoin(ev.select("event_type").distinct())
+      .join(counts, Seq("hour", "event_type"), "left")
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour", "event_type")
+  }
+
   val all: Map[String, Q] = Map(
+    "q76_dispersion" -> (q76Dispersion _),
+    "q77_editdist" -> (q77EditDist _),
+    "q78_gapfill" -> (q78GapFill _),
     "q74_triangles" -> (q74Triangles _),
     "q75_incremental_agg" -> (q75IncrementalAgg _),
     "q64_rollup" -> (q64Rollup _),
@@ -294,6 +360,34 @@ object AnalyticsQueries {
       |  SELECT DISTINCT l_suppkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem) b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q76_dispersion" ->
+      """SELECT l_returnflag,
+        |round(stddev_samp(l_quantity),4) AS sd_qty,
+        |round(var_samp(l_quantity),4) AS var_qty,
+        |round(corr(l_quantity, l_extendedprice),4) AS corr_qty_price,
+        |round(covar_samp(l_quantity, l_extendedprice),2) AS covar_qty_price,
+        |count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q77_editdist" ->
+      s"""WITH names AS (SELECT DISTINCT p_name AS name,
+        |  string_split(p_name, ' ')[-1] AS block FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= $EditMax
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q78_gapfill" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS hour, event_type FROM events),
+        |bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |          FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |counts AS (SELECT hour, event_type, count(*) AS n FROM ev GROUP BY 1, 2)
+        |SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour, t.event_type,
+        |coalesce(c.n, 0) AS n
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+        |ORDER BY hour, t.event_type""".stripMargin,
     "q74_triangles" ->
       s"""WITH ps0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |ps AS (SELECT * FROM ps0 WHERE l_partkey IN (

@@ -183,6 +183,66 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q76 dispersion stats match direct two-pass computation") {
+    val rows = AnalyticsQueries.q76Dispersion(spark, d)
+      .as[(String, Double, Double, Double, Double, Long)].collect()
+    assert(rows.length == 3)
+    val data = graft.core.Tables.lineitem(spark, d)
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .as[(String, Double, Double)].collect().groupBy(_._1)
+    rows.foreach { case (flag, sd, vr, cr, cv, n) =>
+      val xs = data(flag).map(_._2); val ys = data(flag).map(_._3)
+      assert(n == xs.length)
+      val mx = xs.sum / n; val my = ys.sum / n
+      val varX = xs.map(x => (x - mx) * (x - mx)).sum / (n - 1)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / (n - 1)
+      val varY = ys.map(y => (y - my) * (y - my)).sum / (n - 1)
+      assert(math.abs(vr - varX) < 1e-2, s"$flag var")
+      assert(math.abs(sd - math.sqrt(varX)) < 1e-3, s"$flag sd")
+      assert(math.abs(cv - cov) < 1.0, s"$flag covar ($cv vs $cov)")
+      assert(math.abs(cr - cov / math.sqrt(varX * varY)) < 1e-3, s"$flag corr")
+    }
+  }
+
+  test("q77 fuzzy pairs match in-memory levenshtein over the same blocks") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val names = graft.core.Tables.part(spark, d)
+      .select("p_name").distinct().as[String].collect()
+    val want = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last
+      dst = lev(a, b) if dst <= AnalyticsQueries.EditMax
+    } yield (a, b, dst)).toSet
+    val got = AnalyticsQueries.q77EditDist(spark, d)
+      .as[(String, String, Int)].collect().toSet
+    assert(got == want, "blocked fuzzy pairs must match brute force")
+    assert(got.nonEmpty, "fixture must contain near-matching names")
+  }
+
+  test("q78 spine is dense: every hour x type cell present, totals conserved") {
+    val rows = AnalyticsQueries.q78GapFill(spark, d)
+      .as[(String, String, Long)].collect()
+    val hours = rows.map(_._1).distinct.sorted
+    val types = rows.map(_._2).distinct.sorted
+    assert(rows.length == hours.length * types.length, "dense grid")
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val parsed = hours.map(h => java.time.LocalDateTime.parse(h, fmt))
+    parsed.zip(parsed.tail).foreach { case (a, b) =>
+      assert(java.time.Duration.between(a, b).toHours == 1, s"gap between $a and $b")
+    }
+    val total = graft.core.Tables.events(spark, d).count()
+    assert(rows.map(_._3).sum == total, "zero-filled cells must not change totals")
+    assert(rows.exists(_._3 == 0L), "fixture must contain empty cells to fill")
+  }
+
   test("q68 pagerank matches an independent in-memory integer PageRank exactly") {
     val sp = graft.core.Tables.lineitem(spark, d)
       .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
