@@ -46,6 +46,10 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = deg.count() // scalar to driver: bounded, documented
+    if (n == 0) { // empty graph: empty ranks, not a division by zero
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long)].toDF("node", "rank")
+    }
     val init = Scale / n
     val base = (15L * init) / 100L
     var ranks = deg.select(col("src").as("node"), lit(init).as("rank"))
