@@ -32,61 +32,95 @@ object PageRank {
 
   /** Ranks after `iters` damped iterations over the directed edge list
     * `edges` (columns `src`, `dst`; pass both directions for an
-    * undirected graph). Only nodes with at least one outgoing edge are
-    * ranked (with undirected input that is every node). Returns
-    * (node: Long, rank: Long), rank scaled by [[Scale]].
+    * undirected graph). The ranked node set is every vertex that
+    * appears in the edge list (source or destination) — EVERY node
+    * keeps the damping base term each iteration, including nodes with
+    * no in-links (a source-only node must retain its 15% share, not
+    * drop out of the rank set). Returns (node: Long, rank: Long), rank
+    * scaled by [[Scale]].
     *
     * next(v) = (15 * (Scale/n)) / 100  +  (85 * Σ_{u→v} rank(u)/outdeg(u)) / 100
-    * with every division integral.
-    */
+    * with every division integral. Contributions from dangling nodes
+    * (no out-edges) are dropped, the standard simplification.
+    *
+    * Caching: edges/degrees/node set persist (each is read once per
+    * iteration), the iterations chain LAZILY — each step references the
+    * previous ranks exactly once, so the plan grows linearly and the
+    * whole recurrence pipelines as one job (an eager materialization
+    * per iteration costs a full scheduler round-trip each; measured 10x
+    * slower at bench scale). Only every [[TruncateEvery]]-th iteration
+    * is materialized, bounding lineage depth for deep runs. The final
+    * frame is materialized once; every intermediate persist is released
+    * before returning, so repeated calls do not accumulate cache. Only
+    * the returned frame stays cached (callers unpersist when done). */
   def ranks(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = deg.count() // scalar to driver: bounded, documented
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // scalar to driver: bounded, documented
     if (n == 0) { // empty graph: empty ranks, not a division by zero
+      Seq(e, deg, nodes).foreach(_.unpersist(false))
       import spark.implicits._
       return spark.emptyDataset[(Long, Long)].toDF("node", "rank")
     }
     val init = Scale / n
     val base = (15L * init) / 100L
-    var ranks = deg.select(col("src").as("node"), lit(init).as("rank"))
-    for (_ <- 1 to iters) {
+    var ranks = nodes.select(col("node"), lit(init).as("rank"))
+    val truncated = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (i <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
         .groupBy("dst")
         .agg(sum(expr("rank div outdeg")).as("insum"))
-      val next = contrib
-        .select(col("dst").as("node"),
-          (lit(base) + expr("(85 * insum) div 100")).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      ranks = next
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(insum, 0L)) div 100")).as("rank"))
+      if (i % TruncateEvery == 0 && i < iters) {
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        ranks.count() // bound lineage depth on deep runs
+        truncated += ranks
+      }
     }
-    ranks
+    val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // one materialization for the whole recurrence
+    (Seq(e, deg, nodes) ++ truncated).foreach(_.unpersist(false))
+    out
   }
+
+  /** Materialize-and-truncate cadence for deep iteration counts. */
+  val TruncateEvery = 8
 
   /** DuckDB twin of [[ranks]]: unrolled CTE chain with identical integer
     * arithmetic (`//` integral division; sums cast back to BIGINT since
-    * DuckDB widens sum(BIGINT) to HUGEINT). `edgesSql` must yield
-    * columns (src, dst) including both directions if undirected. */
+    * DuckDB widens sum(BIGINT) to HUGEINT) and the same all-nodes base
+    * term (left join from the node set, in-sum coalesced to 0).
+    * `edgesSql` must yield columns (src, dst) including both directions
+    * if undirected. */
   def ranksSql(edgesSql: String, iters: Int): String = {
     require(iters >= 1)
     val head =
       s"""WITH e AS ($edgesSql),
          |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |consts AS (SELECT ${Scale}::BIGINT // count(*) AS init,
-         |  (15 * (${Scale}::BIGINT // count(*))) // 100 AS base FROM deg),
-         |r0 AS (SELECT src AS node, init AS rank FROM deg, consts)""".stripMargin
+         |  (15 * (${Scale}::BIGINT // count(*))) // 100 AS base FROM nodes),
+         |r0 AS (SELECT node, init AS rank FROM nodes, consts)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""r$i AS (SELECT e.dst AS node,
-         |  (SELECT base FROM consts) +
-         |    (85 * CAST(sum(r.rank // d.outdeg) AS BIGINT)) // 100 AS rank
+      s"""c$i AS (SELECT e.dst AS node,
+         |  CAST(sum(r.rank // d.outdeg) AS BIGINT) AS insum
          |  FROM e JOIN r${i - 1} r ON e.src = r.node
          |  JOIN deg d ON e.src = d.src
-         |  GROUP BY e.dst)""".stripMargin
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT n.node,
+         |  (SELECT base FROM consts) + (85 * coalesce(c.insum, 0)) // 100 AS rank
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
     }
     (head +: steps).mkString(",\n") + s"\nSELECT node, rank FROM r$iters"
   }

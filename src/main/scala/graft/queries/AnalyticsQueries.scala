@@ -206,8 +206,15 @@ object AnalyticsQueries {
 
   /** Set operations INTERSECT / EXCEPT: part keys shipped under
     * returnflag A vs R, labeled by membership. Spark plans set ops as
-    * aggregations/anti-joins on the compared columns — same shuffle
-    * cost as a distinct, no row-by-row driver logic. */
+    * aggregations/anti-joins on the compared columns — no row-by-row
+    * driver logic. Note the three branches re-evaluate the pushdown-
+    * filtered key scans (6 narrow scans total — Catalyst does not share
+    * subplans across branches); at real scale persist the two key sets
+    * first, or use the single-pass groupBy-membership form
+    * (`max(flag='A'), max(flag='R')` + CASE) which labels all three
+    * classes in one scan and one shuffle. This query keeps the literal
+    * INTERSECT/EXCEPT operators — that operator surface is the thing
+    * under test. */
   def q73SetOps(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     def keys(flag: String) =

@@ -238,7 +238,11 @@ object EventStreams {
           val buffer = prev.buffer ++
             rows.map(e => (tsMicros(e.ts), e.event_id, e.event_type))
           val wm = state.getCurrentWatermarkMs()
-          val (ripe, pending) = buffer.partition(_._1 / 1000 <= wm)
+          // STRICTLY below the watermark: Spark still admits events at
+          // ts >= wm, so an event at exactly wm could yet be preceded by
+          // a same-millisecond arrival — folding it early would break
+          // batch parity. Boundary events wait one more trigger.
+          val (ripe, pending) = buffer.partition(_._1 / 1000 < wm)
           var (view, click, purchase) = (prev.view, prev.click, prev.purchase)
           val out = scala.collection.mutable.ListBuffer.empty[FunnelHit]
           ripe.sortBy(e => (e._1, e._2)).foreach { case (t, _, tpe) =>

@@ -18,6 +18,7 @@ class SqlSurfaceSpec extends SparkSpec {
     graft.core.Tables.documents(spark, d).createOrReplaceTempView("docs_sql")
     val viaSql = spark.sql(
       """SELECT doc_id,
+        |concat_ws('|', graft_tokens(text)) AS toks,
         |graft_n_tokens(text) AS nt, graft_lang_id(text) AS lang,
         |round(graft_punct_ratio(text), 6) AS pr,
         |round(graft_stopword_ratio(text), 6) AS sr,
@@ -28,17 +29,17 @@ class SqlSurfaceSpec extends SparkSpec {
         |round(graft_hash_uniform(doc_id), 9) AS hu,
         |graft_split_label(doc_id) AS lbl
         |FROM docs_sql""".stripMargin)
-      .as[(Long, Int, String, Double, Double, String, Long, Double, String, Int, Double, String)]
+      .as[(Long, String, Int, String, Double, Double, String, Long, Double, String, Int, Double, String)]
       .collect().sortBy(_._1)
     val viaApi = graft.core.Tables.documents(spark, d)
-      .select(col("doc_id"), T.nTokens(col("text")),
+      .select(col("doc_id"), concat_ws("|", T.tokens(col("text"))), T.nTokens(col("text")),
         T.langId(col("text")), round(T.punctRatio(col("text")), 6),
         round(T.stopwordRatio(col("text")), 6),
         T.contentFingerprint(col("text")), T.rollingFingerprint(col("text")),
         round(T.dupTokenFrac(col("text")), 6), T.scrubPii(col("text")),
         T.hashBucket(col("doc_id"), 1000), round(T.hashUniform(col("doc_id")), 9),
         T.splitLabel(col("doc_id")))
-      .as[(Long, Int, String, Double, Double, String, Long, Double, String, Int, Double, String)]
+      .as[(Long, String, Int, String, Double, Double, String, Long, Double, String, Int, Double, String)]
       .collect().sortBy(_._1)
     assert(viaSql.length == viaApi.length && viaSql.length > 0)
     viaSql.zip(viaApi).foreach { case (s, a) => assert(s == a, s"doc ${a._1}") }

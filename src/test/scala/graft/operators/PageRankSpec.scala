@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.SparkSpec
-import scala.collection.mutable
 
 /** Random-graph cross-validation of the distributed integer PageRank
   * and triangle enumeration against independent in-memory references —
@@ -10,20 +9,6 @@ import scala.collection.mutable
   * many shapes (hubs, chains, disconnected sccs, dense cliques). */
 class PageRankSpec extends SparkSpec {
   import spark.implicits._
-
-  private def referenceRanks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
-    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
-    val n = deg.size
-    val init = PageRank.Scale / n
-    val base = 15L * init / 100L
-    var rank: Map[Long, Long] = deg.keysIterator.map(_ -> init).toMap
-    for (_ <- 1 to iters) {
-      val contrib = mutable.Map.empty[Long, Long].withDefaultValue(0L)
-      for ((s, t) <- edges; r <- rank.get(s)) contrib(t) += r / deg(s)
-      rank = contrib.iterator.map { case (k, v) => k -> (base + 85L * v / 100L) }.toMap
-    }
-    rank
-  }
 
   test("integer PageRank matches the in-memory reference on random directed graphs") {
     val rnd = new scala.util.Random(29)
@@ -36,9 +21,21 @@ class PageRankSpec extends SparkSpec {
         val iters = 1 + rnd.nextInt(4)
         val got = PageRank.ranks(spark, edges.toDF("src", "dst"), iters)
           .as[(Long, Long)].collect().toMap
-        assert(got == referenceRanks(edges, iters), s"trial $trial (n=$n, iters=$iters)")
+        assert(got == PageRankReference.ranks(edges, iters),
+          s"trial $trial (n=$n, iters=$iters)")
       }
     }
+  }
+
+  test("a source-only node keeps its damping base; a chain never goes extinct") {
+    // directed chain 1 -> 2 -> 3: node 1 has no in-links and must retain
+    // the base share every iteration; the rank set stays all three nodes
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = PageRank.ranks(spark, edges, 3).as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "no node may drop out of the rank set")
+    val base = 15L * (PageRank.Scale / 3) / 100L
+    assert(got(1L) == base, "source-only node holds exactly the base share")
+    assert(got(3L) > got(1L), "the sink accumulates more than the source")
   }
 
   test("PageRank mass stays within the integral-division budget") {

@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.SparkSpec
-import graft.operators.PageRank
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
@@ -247,20 +246,11 @@ class AnalyticsQueriesSpec extends SparkSpec {
     val sp = graft.core.Tables.lineitem(spark, d)
       .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .distinct().as[(Long, Long)].collect()
-    val edges = sp ++ sp.map { case (s, t) => (t, s) }
-    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
-    val n = deg.size
-    val init = PageRank.Scale / n
-    val base = 15L * init / 100L
-    var rank: Map[Long, Long] = deg.keysIterator.map(_ -> init).toMap
-    for (_ <- 1 to AnalyticsQueries.PrIters) {
-      val contrib = mutable.Map.empty[Long, Long].withDefaultValue(0L)
-      for ((s, t) <- edges) contrib(t) += rank(s) / deg(s)
-      rank = contrib.iterator.map { case (k, v) => k -> (base + 85L * v / 100L) }.toMap
-    }
+    val edges = (sp ++ sp.map { case (s, t) => (t, s) }).toSeq
+    val want = graft.operators.PageRankReference.ranks(edges, AnalyticsQueries.PrIters)
     val got = AnalyticsQueries.q68PageRank(spark, d)
       .as[(Long, Long)].collect().toMap
-    assert(got == rank, "distributed and in-memory integer PageRank must agree bit-for-bit")
+    assert(got == want, "distributed and in-memory integer PageRank must agree bit-for-bit")
     // parts with more suppliers rank higher: spot the extremes make sense
     assert(got.values.max > got.values.min, "graph must not be rank-uniform")
   }
