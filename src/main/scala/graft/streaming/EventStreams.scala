@@ -270,6 +270,21 @@ object EventStreams {
       }
   }
 
+  /** Streaming heavy hitters: a Misra-Gries summary of `itemCol`
+    * maintained incrementally over the stream — the ingest-side twin of
+    * the batch q58. Complete-mode aggregation: Spark keeps the MG
+    * buffer (k counters, a few KB) as the ONLY state regardless of
+    * stream volume and re-emits the current summary each trigger; no
+    * per-item state, no watermark needed (nothing is ever late for a
+    * running frequency summary). The sketch's mergeability (Agarwal et
+    * al., PODS 2012) is exactly what makes it streaming-safe: arrival
+    * order and micro-batch boundaries change WHICH non-heavy entries
+    * linger, but never the guarantee — every item with true count >
+    * n/(k+1) is present, every estimate undercounts by <= n/(k+1)
+    * (pinned against exact counts in EventStreamsSpec). */
+  def heavyHitters(events: DataFrame, itemCol: String, k: Int): DataFrame =
+    events.agg(graft.functions.MisraGries(col(itemCol), k).as("mg"))
+
   /** RocksDB state store for large stateful queries: keeps per-key state
     * off-heap on local disk instead of the executor heap — at 100 TB a
     * sessionizer's state (every open session) dwarfs executor memory;

@@ -290,6 +290,37 @@ class EventStreamsSpec extends SparkSpec {
       EventStreams.SessionOut(2L, ts(5), 1, 5.0)))  // flushed by timeout
   }
 
+  test("streaming heavy hitters keep the Misra-Gries guarantee across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val k = 3
+    val q = EventStreams.heavyHitters(mem.toDF(), "event_type", k)
+      .writeStream.outputMode("complete").format("memory").queryName("hh_out")
+      .start()
+    // skewed stream: 'view' dominates, 'click' is heavy, the rest are noise
+    val items = Seq.fill(40)("view") ++ Seq.fill(25)("click") ++
+      Seq("error", "signup", "purchase", "scroll", "hover", "focus", "blur")
+    val events = items.zipWithIndex.map { case (t, i) => Event(i, ts(i), 1, t, 0.0) }
+    val (b1, b2) = events.splitAt(events.length / 2)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val mg = spark.table("hh_out").select("mg")
+      .as[Map[String, Long]].collect().last
+    val exact = items.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = items.length
+    val floor = n / (k + 1)
+    assert(mg.size <= k, "summary never exceeds k counters")
+    exact.filter(_._2 > floor).keys.foreach { heavy =>
+      assert(mg.contains(heavy), s"guaranteed heavy hitter '$heavy' missing")
+    }
+    mg.foreach { case (item, est) =>
+      val truth = exact.getOrElse(item, 0L)
+      assert(est <= truth && est >= truth - floor,
+        s"'$item' estimate $est outside [truth-n/(k+1), truth] = [${truth - floor}, $truth]")
+    }
+  }
+
   test("streaming funnel: out-of-order arrivals fold in event order; no restart after stage 3") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
