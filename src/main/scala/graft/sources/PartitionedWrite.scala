@@ -41,6 +41,29 @@ object PartitionedWrite {
     }
   }
 
+  /** MERGE-INTO semantics on plain parquet: upsert `updates` into the
+    * partitioned table at `dir`, matching on `keyCols` — existing rows
+    * with a matching key are replaced, everything else is kept, new
+    * keys are inserted. Only the partitions PRESENT in `updates` are
+    * read and rewritten (left-semi on the update's partition values),
+    * so a daily delta touching 1 of 1000 partitions costs 1/1000th of
+    * the table — the transactional-sink MERGE pattern (reference's
+    * Postgres ON CONFLICT sink) re-expressed for files. Keys must not
+    * straddle partitions (a key's partition columns are part of its
+    * identity), the usual MERGE-on-partitioned-table contract. */
+  def upsertPartitions(updates: DataFrame, dir: String, partitionCols: Seq[String],
+      keyCols: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit = {
+    val spark = updates.sparkSession
+    val touched = updates.select(partitionCols.map(col): _*).distinct()
+    val existing = spark.read.parquet(dir)
+      .join(touched, partitionCols, "left_semi")
+    val merged = existing.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates)
+      .localCheckpoint() // materialize before replacing the files it reads
+    overwritePartitions(merged, dir, partitionCols, maxRecordsPerFile)
+    merged.unpersist(false)
+  }
+
   /** Compact one partition directory in place: read, coalesce to
     * ceil(rows / targetRecordsPerFile) files, rewrite atomically via a
     * dynamic partition overwrite of just that partition. Narrow

@@ -44,6 +44,22 @@ class PartitionedWriteSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("upsert replaces matched keys, keeps the rest, inserts new, skips untouched partitions") {
+    val dir = Files.createTempDirectory("pw_ups").toString
+    val seed = Seq((1, "a", 10), (2, "a", 20), (3, "b", 30)).toDF("id", "part", "v")
+    PartitionedWrite.overwritePartitions(seed, dir, Seq("part"))
+    val bFiles = parquetFiles(java.nio.file.Paths.get(dir, "part=b"))
+    // update id=2, insert id=5 — both land in partition a only
+    val updates = Seq((2, "a", 99), (5, "a", 50)).toDF("id", "part", "v")
+    PartitionedWrite.upsertPartitions(updates, dir, Seq("part"), Seq("id"))
+    val got = spark.read.parquet(dir).select("id", "part", "v")
+      .as[(Int, String, Int)].collect().toSet
+    assert(got == Set((1, "a", 10), (2, "a", 99), (5, "a", 50), (3, "b", 30)),
+      "update wins on key, unmatched kept, insert added, b untouched")
+    assert(parquetFiles(java.nio.file.Paths.get(dir, "part=b")) == bFiles,
+      "partition b must not be rewritten by an upsert that never touches it")
+  }
+
   test("compaction shrinks a fragmented partition without changing its rows") {
     val dir = Files.createTempDirectory("pw_cmp").toString
     // fragment: 10 writers x 10 rows → many small files in one partition
