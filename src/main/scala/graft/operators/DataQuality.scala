@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality primitives for the pipeline gate: one-pass column
+  * profiling and declarative constraint checks (the deequ/dbt-test shape,
+  * and the engine-side generalization of the reference's load-time
+  * invariants — uniqueness constraints and non-null count checks,
+  * reference `research_pipeline_dag.py:291-294,374-390`).
+  *
+  * Scale design: [[profile]] computes every per-column statistic in ONE
+  * aggregation pass over the table (a 1-row wide aggregate, reshaped to
+  * long form by exploding a literal struct array — no per-column scan, no
+  * driver collect). [[checks]] turns each constraint into a counting
+  * aggregate (violations, not violating rows), so a failed check on a
+  * 100 TB table still returns one number; referential checks count via
+  * anti-join, never materializing the join product.
+  */
+object DataQuality {
+
+  /** Long-format profile of `cols`: per column the row count, null count,
+    * exact distinct count (nulls excluded), and min/max rendered as
+    * strings (one output schema across input types). Single aggregation
+    * pass; `count_distinct` columns share the one shuffle via Spark's
+    * Expand-based multi-distinct planning. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_val"), col(s"${c}__mx").as("max_val"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /** One named constraint: `observed` must be an aggregate Column over the
+    * table (a violation count or measured value); `passed` is the
+    * predicate applied to it. */
+  final case class Check(name: String, observed: Column, passed: Column => Column)
+
+  /** Evaluate checks that are all expressible over one table in one
+    * aggregation pass. Output: (check_name, observed, passed). */
+  def checks(df: DataFrame, cs: Seq[Check]): DataFrame = {
+    val aggs = cs.zipWithIndex.map { case (c, i) => c.observed.as(s"__o$i") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cs.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"),
+        col(s"__o$i").cast("long").as("observed"),
+        c.passed(col(s"__o$i")).as("passed"))
+    }
+    wide.select(explode(array(entries: _*)).as("c")).select("c.*")
+  }
+
+  /** Referential-integrity violation count: rows of `fact` whose
+    * `factKey` has no match in `dim.dimKey` (NULL keys are violations —
+    * an orphan is an orphan whether or not the key is present). Counted
+    * via anti-join: only keys shuffle, and the count is the only thing
+    * returned. */
+  def orphanCount(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String): DataFrame =
+    fact.select(col(factKey))
+      .join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+}

@@ -64,6 +64,71 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Per-document duplicated-span statistics: for each doc, how many of
+    * its distinct `windowTokens`-token windows also appear in at least
+    * one OTHER document, and the duplicated fraction — the span-level
+    * dedup signal (cf. Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": substring-level duplication matters
+    * even when whole documents aren't near-dups).
+    *
+    * Scale design: there is NO pair join anywhere. The corpus-scale work
+    * is one distinct (doc, window) projection plus one map-side-combinable
+    * count per window; a boilerplate window shared by millions of docs
+    * costs one aggregate row, never a quadratic candidate explosion
+    * (contrast [[ngramJaccard]], which must prune hot shingles before its
+    * self-join). That makes per-doc span stats the dedup diagnostic that
+    * still runs on the full corpus when pair enumeration can't.
+    *
+    * Output: (idCol, n_windows, n_dup_windows, dup_ratio), one row per
+    * input doc; docs shorter than `windowTokens` tokens report 0/0/0.0. */
+  def spanDupStats(docs: DataFrame, windowTokens: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = docs.select(col(idCol).as("id"),
+      explode(array_distinct(T.shingles(col(textCol), windowTokens))).as("w"))
+    // nd = number of distinct docs containing the window ((id, w) is
+    // already distinct, so a plain count is a distinct-doc count)
+    val docFreq = w.groupBy("w").agg(count(lit(1)).as("nd"))
+    val perDoc = w.join(docFreq, Seq("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_dup_windows") / col("n_windows").cast("double"), 4))
+          .as("dup_ratio"))
+  }
+
+  /** Pairwise n-gram CONTAINMENT >= threshold among docs sharing >= 1
+    * shingle: containment = |A∩B| / min(|A|,|B|) — the asymmetric
+    * near-dup signal. Detects a document embedded in (or truncated from)
+    * a larger one, which Jaccard structurally misses: J = |∩|/|∪| decays
+    * toward 0 as the larger doc grows even when the smaller doc is
+    * copied verbatim, while containment stays 1. Same candidate
+    * machinery and hot-shingle bound as [[ngramJaccard]]; only the
+    * normalizer differs. Output: id_a < id_b, n_common, containment. */
+  def ngramContainment(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFreq: Long = 0L): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n, maxDocFreq)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("shingle"), col("id").as("id_a"))
+      .join(sh.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("sa")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("sb")), Seq("id_b"))
+      .withColumn("containment",
+        round(col("n_common") / least(col("sa"), col("sb")).cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_common", "containment")
+  }
+
   /** MinHash signatures: k independent hashes, min over shingles.
     * The (variable-length) shingle string is hashed ONCE; the k
     * "permutations" re-hash the resulting fixed 8-byte value — one string

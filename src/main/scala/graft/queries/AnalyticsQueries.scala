@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{CoOccur, PageRank, Triangles}
+import graft.operators.{CoOccur, DataQuality, PageRank, Triangles}
 
 /** OLAP + event-analytics + graph-centrality queries: multi-level
   * aggregation (ROLLUP / pivot), ordered-sequence funnel, cohort
@@ -342,7 +342,202 @@ object AnalyticsQueries {
       .orderBy("hour", "event_type")
   }
 
+  /** Changelog compaction / latest-per-key snapshot: each user's most
+    * recent event, tie-broken by the unique event_id so the answer is a
+    * total-order argmax. Implemented as `max(struct(ts, event_id,
+    * payload))` — a MAP-SIDE-COMBINABLE aggregation, not a window: the
+    * window form sorts every partition of the full history, while the
+    * struct-max carries ONE candidate row per key per partition into the
+    * shuffle. At 100 TB of changelog this is the difference between
+    * compaction being an aggregation (cheap, AQE-friendly) and a sort.
+    * The DuckDB twin uses the row_number formulation — same semantics,
+    * independently expressed. */
+  def q81LatestSnapshot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+        .as("m"))
+      .select(col("user_id"), col("m.ts").as("last_ts"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"), col("m.value").as("last_value"))
+      .orderBy("user_id")
+
+  /** CUBE over (order priority, order year): all four grouping sets in
+    * one pass — detail, per-priority, per-year, grand total. Like q64's
+    * ROLLUP this plans a single Expand + one hash aggregate, so the fact
+    * table is scanned once for all 2^k summary levels; the alternative
+    * (4 UNIONed aggregations) scans it 2^k times. gid cast to INT on
+    * both sides. */
+  def q82Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .cube("o_orderpriority", "order_year")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total_price"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"),
+        col("o_orderpriority").asc_nulls_first, col("order_year").asc_nulls_first)
+
+  /** Inter-event time gaps per user: count, mean and max of the deltas
+    * between consecutive events (lag window on (ts, event_id)). All gap
+    * arithmetic stays in INTEGER microseconds until one final division,
+    * so the mean is a single IEEE op on exact integers — bit-equal across
+    * engines with no FP-summation-order dependence (the q68/q54 integer
+    * discipline applied to time math). Equal-ts ties: the delta multiset
+    * of a sorted list doesn't depend on the tiebreak among equal keys, so
+    * the aggregates are deterministic regardless. Single-event users
+    * report NULL gaps. */
+  def q83EventGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("gap_us") / (count(lit(1)) - 1) / lit(1000000.0), 3).as("avg_gap_s"),
+        (max("gap_us") / lit(1000000.0)).as("max_gap_s"))
+      .orderBy("user_id")
+  }
+
+  /** Bucket count for [[q84Histogram]]. */
+  val HistBuckets = 10
+
+  /** Equi-width histogram of document lengths: [[HistBuckets]] buckets
+    * between the global min/max, bucket id computed with INTEGER
+    * arithmetic only (`*10 div range`, clamped) so no FP boundary can
+    * move a row between engines. The bounds row is a 1-row aggregate
+    * broadcast into a narrow per-row map — the corpus scans once and
+    * nothing shuffles but the final per-bucket partials. Observed-only
+    * buckets (no dense spine): a histogram, not a gap-fill. */
+  def q84Histogram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val bounds = docs.agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(lit(9L), expr("(n_chars - lo) * 10 div greatest(hi - lo, 1)")).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("bucket")
+  }
+
+  /** Columns profiled by [[q85Profile]]. `value` is pre-cast to
+    * DECIMAL(18,6) because the profile renders min/max as strings and
+    * decimal-to-string is format-stable across engines (double-to-string
+    * shortest-round-trip rules are not). */
+  val ProfileCols: Seq[String] = Seq("event_id", "user_id", "event_type", "value")
+
+  /** One-pass column profiling ([[DataQuality.profile]]): per column the
+    * row/null/exact-distinct counts and min/max — the "what is in this
+    * table" first query of any ingest. One aggregation over the table
+    * regardless of column count. */
+  def q85Profile(s: SparkSession, d: String): DataFrame =
+    DataQuality.profile(
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("value")),
+      ProfileCols)
+      .orderBy("col_name")
+
+  /** Declarative quality gate ([[DataQuality.checks]] + orphan counts):
+    * primary-key uniqueness, completeness, value-range and
+    * referential-integrity checks, each reduced to ONE violation count —
+    * the engine-side form of the reference's load-time invariants
+    * (uniqueness constraints, non-null count checks). Single-table checks
+    * share one aggregation pass per table; FK checks are anti-join
+    * counts. */
+  def q86QualityGate(s: SparkSession, d: String): DataFrame = {
+    import DataQuality.Check
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val li = Tables.lineitem(s, d)
+    val single = DataQuality.checks(o, Seq(
+      Check("orders_pk_unique",
+        count(lit(1)) - count_distinct(col("o_orderkey")), _ === 0),
+      Check("orders_totalprice_positive",
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)), _ === 0),
+      Check("orders_priority_complete",
+        count(lit(1)) - count(col("o_orderpriority")), _ === 0)))
+    val fk1 = DataQuality.orphanCount(li, "l_orderkey", o, "o_orderkey")
+      .select(lit("lineitem_orders_fk").as("check_name"),
+        col("orphans").as("observed"), (col("orphans") === 0).as("passed"))
+    val fk2 = DataQuality.orphanCount(o, "o_custkey", c, "c_custkey")
+      .select(lit("orders_customer_fk").as("check_name"),
+        col("orphans").as("observed"), (col("orphans") === 0).as("passed"))
+    single.union(fk1).union(fk2).orderBy("check_name")
+  }
+
+  /** SCD Type-2 dimension build from the event changelog: each event
+    * becomes a version row with [valid_from, valid_to) from consecutive
+    * event times (lead window) and an is_current flag — the
+    * temporal-dimension complement of q81's latest-snapshot compaction.
+    * Per-user window: the partition key is the entity, so state per task
+    * is one entity's history, never the full table. Tie-broken by the
+    * unique event_id (and the fixture's timestamps are
+    * microsecond-aligned, so both engines sort the same instants). */
+  def q87Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d).select("user_id", "event_id", "event_type", "ts")
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("user_id"), col("version"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** Skyline / Pareto frontier of `part` on (minimize retail price,
+    * maximize size): rows no other part dominates. NOT the quadratic
+    * self-join: group to one max-size row per distinct price (prices are
+    * catalog-vocabulary-scale), take the strictly-increasing running max
+    * of size over price order on that dictionary-sized frame, and join
+    * back — O(n) scans + a dictionary-scale window vs O(n²) dominance
+    * tests. Semantics: dominated iff another row has (price <, size >=)
+    * or (price <=, size >); duplicate (price, size) frontier rows all
+    * survive. */
+  def q88Skyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
+    val perPrice = p.groupBy("p_retailprice").agg(max("p_size").as("gmax"))
+    val w = Window.orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierPrices = perPrice
+      .withColumn("prev_max", max("gmax").over(w))
+      .filter(col("prev_max").isNull || col("gmax") > col("prev_max"))
+      .select("p_retailprice", "gmax")
+    p.join(broadcast(frontierPrices), Seq("p_retailprice"))
+      .filter(col("p_size") === col("gmax"))
+      .select("p_partkey", "p_name", "p_retailprice", "p_size")
+      .orderBy("p_partkey")
+  }
+
+  /** Percentile bands per group: exact interpolating p25/p50/p75/p95 of
+    * extended price per return flag (numpy-style linear interpolation —
+    * the A4 median generalized to a band). Exact `percentile` needs the
+    * group's values collected per partition-key — fine for
+    * low-cardinality banding dimensions; for high-cardinality keys use
+    * approx_percentile (q57's documented trade). Rounded to 2 (values
+    * ~1e4, double noise ~1e-11). */
+  def q89PercentileBands(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.50)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val all: Map[String, Q] = Map(
+    "q85_profile" -> (q85Profile _),
+    "q86_quality_gate" -> (q86QualityGate _),
+    "q87_scd2" -> (q87Scd2 _),
+    "q88_skyline" -> (q88Skyline _),
+    "q89_percentile_bands" -> (q89PercentileBands _),
+    "q81_latest_snapshot" -> (q81LatestSnapshot _),
+    "q82_cube" -> (q82Cube _),
+    "q83_event_gaps" -> (q83EventGaps _),
+    "q84_histogram" -> (q84Histogram _),
     "q76_dispersion" -> (q76Dispersion _),
     "q77_editdist" -> (q77EditDist _),
     "q78_gapfill" -> (q78GapFill _),
@@ -366,7 +561,96 @@ object AnalyticsQueries {
       |SELECT dst, src FROM (
       |  SELECT DISTINCT l_suppkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem) b""".stripMargin
 
+  /** q85 twin generated from the same [[ProfileCols]] list — one UNION ALL
+    * branch per profiled column. */
+  private val profileOracleSql: String = {
+    val per = ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |count(*) - count($c) AS n_null,
+         |count(DISTINCT $c) AS n_distinct,
+         |CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+         |FROM e""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |  CAST(value AS DECIMAL(18,6)) AS value FROM events)
+       |$per
+       |ORDER BY col_name""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q85_profile" -> profileOracleSql,
+    "q86_quality_gate" ->
+      """WITH s1 AS (SELECT
+        |  count(*) - count(DISTINCT o_orderkey) AS pk,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos,
+        |  count(*) - count(o_orderpriority) AS np FROM orders),
+        |fk1 AS (SELECT count(*) AS v FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |fk2 AS (SELECT count(*) AS v FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT 'orders_pk_unique' AS check_name, pk AS observed, pk = 0 AS passed FROM s1
+        |UNION ALL SELECT 'orders_totalprice_positive', nonpos, nonpos = 0 FROM s1
+        |UNION ALL SELECT 'orders_priority_complete', np, np = 0 FROM s1
+        |UNION ALL SELECT 'lineitem_orders_fk', v, v = 0 FROM fk1
+        |UNION ALL SELECT 'orders_customer_fk', v, v = 0 FROM fk2
+        |ORDER BY check_name""".stripMargin,
+    "q87_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, event_id, event_type, ts,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  lead(ts) OVER w AS valid_to
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, version, event_id, event_type, ts AS valid_from,
+        |valid_to, valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    "q88_skyline" ->
+      """SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+        |     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    "q89_percentile_bands" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+        |round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q81_latest_snapshot" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q82_cube" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |  CAST(year(o_orderdate) AS INT) AS order_year, o_totalprice FROM orders)
+        |SELECT o_orderpriority, order_year, count(*) AS n,
+        |round(sum(o_totalprice), 2) AS total_price,
+        |CAST(GROUPING(o_orderpriority)*2 + GROUPING(order_year) AS INT) AS gid
+        |FROM o GROUP BY CUBE (o_orderpriority, order_year)
+        |ORDER BY gid, o_orderpriority NULLS FIRST, order_year NULLS FIRST""".stripMargin,
+    "q83_event_gaps" ->
+      """WITH g AS (SELECT user_id, event_id,
+        |  date_diff('microsecond',
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |round(sum(gap_us) / (count(*) - 1) / 1000000.0, 3) AS avg_gap_s,
+        |max(gap_us) / 1000000.0 AS max_gap_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q84_histogram" ->
+      """WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+        |d AS (SELECT doc_id, n_chars,
+        |  CAST(least(9, (n_chars - lo) * 10 // greatest(hi - lo, 1)) AS INT) AS bucket
+        |  FROM documents CROSS JOIN b)
+        |SELECT bucket, count(*) AS n_docs,
+        |min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q76_dispersion" ->
       """SELECT l_returnflag,
         |round(stddev_samp(l_quantity),4) AS sd_qty,

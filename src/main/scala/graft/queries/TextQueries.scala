@@ -216,7 +216,28 @@ object TextQueries {
       .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
   }
 
+  /** Window width for [[q79SpanDedup]] — the 8-token span granularity of
+    * substring-level dedup. */
+  val SpanWindow = 8
+
+  /** Span-level duplication stats: per doc, the fraction of its 8-token
+    * windows that also occur in another document ([[Dedup.spanDupStats]]).
+    * The scale story is the point: no pair join — one window-keyed count,
+    * so it runs on corpora where pair enumeration is impossible. */
+  def q79SpanDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.spanDupStats(Tables.documents(s, d), windowTokens = SpanWindow)
+      .orderBy("doc_id")
+
+  /** Asymmetric containment near-dup pairs (|A∩B| / min|A|,|B| >= 0.5):
+    * catches doc-inside-doc duplication that Jaccard's union normalizer
+    * dilutes ([[Dedup.ngramContainment]]). */
+  def q80Containment(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramContainment(Tables.documents(s, d), n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
   val all: Map[String, Q] = Map(
+    "q79_span_dedup" -> (q79SpanDedup _),
+    "q80_containment" -> (q80Containment _),
     "q61_tfidf" -> (q61TfIdf _),
     "q30_lang_id" -> (q30LangId _),
     "q31_quality_score" -> (q31Quality _),
@@ -240,6 +261,40 @@ object TextQueries {
   private val fr = hitsSql("'le','la','et','est','un','une','les','des'")
 
   val oracle: Map[String, String] = Map(
+    // windows at 1-based positions 1..len-7 (range upper bound exclusive);
+    // t[i:i+7] is DuckDB's inclusive slice = 8 tokens — mirrors
+    // TextFunctions.shingles(text, 8)
+    "q79_span_dedup" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' '))) AS w
+        |  FROM docs WHERE len(t) >= 8),
+        |df AS (SELECT w, count(*) AS nd FROM w GROUP BY w),
+        |pd AS (SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+        |  FROM w JOIN df USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_windows, 0) AS n_windows,
+        |  coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+        |  CASE WHEN coalesce(pd.n_windows, 0) = 0 THEN 0.0
+        |       ELSE round(pd.n_dup_windows / CAST(pd.n_windows AS DOUBLE), 4)
+        |  END AS dup_ratio
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q80_containment" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |  FROM docs WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, n_common,
+        |  round(n_common / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
+        |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE round(n_common / CAST(least(sa.n, sb.n) AS DOUBLE), 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q61_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

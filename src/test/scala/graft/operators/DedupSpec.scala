@@ -114,6 +114,51 @@ class DedupSpec extends SparkSpec {
     assert(got.isEmpty) // the single 200-row label block exceeds the cap
   }
 
+  test("spanDupStats counts shared windows, not near-dup pairs") {
+    // docs 2/3: 13 tokens -> 6 windows of 8; token 13 differs, so windows
+    // 1-5 are shared and window 6 is not. docs 0/1 differ in case (windows
+    // are case-sensitive) and doc 4 has 10 tokens -> 3 unique windows.
+    val got = Dedup.spanDupStats(docs, windowTokens = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(2L) == ((6L, 5L, 0.8333)))
+    assert(got(3L) == ((6L, 5L, 0.8333)))
+    assert(got(0L) == ((7L, 0L, 0.0)))
+    assert(got(1L) == ((7L, 0L, 0.0)))
+    assert(got(4L) == ((3L, 0L, 0.0)))
+  }
+
+  test("spanDupStats: exact copies are fully duplicated, short docs report zero") {
+    val f = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "too short for windows"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDupStats(f, windowTokens = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((3L, 3L, 1.0)) && got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((0L, 0L, 0.0)), "doc below window width still gets a row")
+  }
+
+  test("ngramContainment catches a doc embedded in a larger one that jaccard misses") {
+    val prefix = "one two three four five six seven eight nine ten eleven twelve"
+    val f = Seq(
+      (0L, prefix), // 12 tokens -> 10 trigrams, all present in doc 1
+      (1L, prefix + " alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "completely unrelated content about catalyst and tungsten and codegen"),
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(f, n = 3, threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(cont.toSeq == Seq((0L, 1L, 10L, 1.0)),
+      "all 10 of the smaller doc's trigrams occur in the larger doc")
+    // the same pair is invisible to jaccard at the same threshold:
+    // j = 10 / (10 + 22 - 10) = 0.4545
+    val jac = Dedup.ngramJaccard(f, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!jac.contains((0L, 1L)))
+  }
+
   test("verifiedJaccard on LSH candidates equals exact all-pairs jaccard") {
     val exact = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
       .select("id_a", "id_b", "n_common", "jaccard")

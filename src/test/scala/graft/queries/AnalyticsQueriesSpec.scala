@@ -242,6 +242,146 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(rows.exists(_._3 == 0L), "fixture must contain empty cells to fill")
   }
 
+  test("q81 struct-max snapshot equals the window row_number formulation") {
+    val viaWindow = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      graft.core.Tables.events(spark, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").cast("long"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)].collect().toSet
+    }
+    val got = AnalyticsQueries.q81LatestSnapshot(spark, d)
+      .select(col("user_id"), col("last_ts").cast("long"), col("last_event_id"),
+        col("last_type"), col("last_value"))
+      .as[(Long, Long, Long, String, Double)].collect().toSet
+    assert(got == viaWindow)
+    assert(got.map(_._1).size == got.size, "one row per user")
+  }
+
+  test("q82 cube emits all four grouping levels, mutually consistent") {
+    val rows = AnalyticsQueries.q82Cube(spark, d)
+      .select("o_orderpriority", "order_year", "n", "gid")
+      .as[(Option[String], Option[Int], Long, Int)].collect()
+    val detail = rows.filter(_._4 == 0)
+    val byPrio = rows.filter(_._4 == 1)  // year rolled away
+    val byYear = rows.filter(_._4 == 2)  // priority rolled away
+    val grand = rows.filter(_._4 == 3)
+    assert(grand.length == 1 && grand.head._3 == detail.map(_._3).sum)
+    byPrio.foreach { case (p, y, n, _) =>
+      assert(y.isEmpty)
+      assert(n == detail.filter(_._1 == p).map(_._3).sum, s"priority subtotal $p")
+    }
+    byYear.foreach { case (p, y, n, _) =>
+      assert(p.isEmpty)
+      assert(n == detail.filter(_._2 == y).map(_._3).sum, s"year subtotal $y")
+    }
+    assert(byYear.nonEmpty, "cube (not rollup) must emit year-only subtotals")
+  }
+
+  test("q83 gap aggregates match an in-memory recompute per user") {
+    val events = graft.core.Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)].collect()
+    val want = events.groupBy(_._1).map { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      val avg = if (gaps.isEmpty) None else Some(
+        BigDecimal(gaps.sum.toDouble / gaps.length / 1e6)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val mx = if (gaps.isEmpty) None else Some(gaps.max / 1e6)
+      u -> ((ts.length.toLong, avg, mx))
+    }
+    val got = AnalyticsQueries.q83EventGaps(spark, d)
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, (n, avg, mx)) =>
+      assert(got(u)._1 == n, s"user $u n_events")
+      assert(got(u)._3 == mx, s"user $u max gap")
+      (got(u)._2, avg) match {
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 2e-3, s"user $u avg gap")
+        case (g, w) => assert(g == w, s"user $u avg gap nullability")
+      }
+    }
+  }
+
+  test("q84 histogram partitions the corpus: counts conserve, bounds nest") {
+    val rows = AnalyticsQueries.q84Histogram(spark, d)
+      .as[(Int, Long, Long, Long)].collect()
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("n_chars")).as[Long].collect()
+    assert(rows.map(_._2).sum == docs.length, "every doc lands in exactly one bucket")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    assert(rows.forall(r => r._3 <= r._4), "per-bucket min <= max")
+    // buckets are ordered and non-overlapping in n_chars
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"buckets ${a._1}/${b._1} overlap")
+      case _ =>
+    }
+    val (lo, hi) = (docs.min, docs.max)
+    rows.foreach { r =>
+      val n = docs.count(c => math.min(9L, (c - lo) * 10 / math.max(hi - lo, 1L)) == r._1)
+      assert(n.toLong == r._2, s"bucket ${r._1} count")
+    }
+  }
+
+  test("q86 quality gate passes on the referentially-intact fixture") {
+    val got = AnalyticsQueries.q86QualityGate(spark, d)
+      .as[(String, Long, Boolean)].collect()
+    assert(got.length == 5)
+    got.foreach { case (name, observed, passed) =>
+      assert(passed && observed == 0L, s"check $name should hold on testdata")
+    }
+  }
+
+  test("q87 SCD2 intervals chain: versions dense, valid_to = next valid_from") {
+    val rows = AnalyticsQueries.q87Scd2(spark, d)
+      .select(col("user_id"), col("version"),
+        col("valid_from").cast("long"), col("valid_to").cast("long"),
+        col("is_current"))
+      .as[(Long, Int, Long, Option[Long], Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (u, h0) =>
+      val h = h0.sortBy(_._2)
+      assert(h.map(_._2).toSeq == (1 to h.length), s"user $u versions dense")
+      h.zip(h.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3), s"user $u v${a._2} valid_to chains")
+        assert(!a._5, "only the last version is current")
+      }
+      assert(h.last._4.isEmpty && h.last._5, s"user $u last version open-ended")
+    }
+  }
+
+  test("q88 skyline equals brute-force dominance over the full part table") {
+    val parts = graft.core.Tables.part(spark, d)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .as[(Long, Double, Int)].collect()
+    val want = parts.filter { case (_, p, s) =>
+      !parts.exists { case (_, p2, s2) =>
+        (p2 < p && s2 >= s) || (p2 <= p && s2 > s)
+      }
+    }.map(_._1).toSet
+    val got = AnalyticsQueries.q88Skyline(spark, d)
+      .select("p_partkey").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q89 percentile bands are ordered and bracket the group extremes") {
+    val rows = AnalyticsQueries.q89PercentileBands(spark, d)
+      .as[(String, Double, Double, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, p25, p50, p75, p95, n) =>
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95, s"band order for $flag")
+      val ext = graft.core.Tables.lineitem(spark, d)
+        .filter(col("l_returnflag") === flag)
+        .agg(min("l_extendedprice"), max("l_extendedprice"), count(lit(1)))
+        .as[(Double, Double, Long)].head()
+      assert(p25 >= ext._1 && p95 <= ext._2 && n == ext._3)
+    }
+  }
+
   test("q68 pagerank matches an independent in-memory integer PageRank exactly") {
     val sp = graft.core.Tables.lineitem(spark, d)
       .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
