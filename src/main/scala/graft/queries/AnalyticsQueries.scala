@@ -528,7 +528,74 @@ object AnalyticsQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Synthetic-entity modulus / delete-rate bucket for [[q90CdcApply]]. */
+  val CdcEntities = 1000
+
+  /** CDC changelog compaction (lakehouse MERGE semantics at query level):
+    * orders become a change log over [[CdcEntities]] synthetic entities
+    * (key = orderkey mod 1000, several changes per entity ordered by
+    * order date; op = U except a deterministic ~20% D tail via the md5
+    * bucket). Latest-op-wins per key, a delete tombstone suppresses the
+    * entity. NOT a window: the latest version is max(struct(ts, key,
+    * payload)) inside ONE hash aggregate — map-side partial max means
+    * only one pre-combined row per entity per partition reaches the
+    * shuffle, the shape you want when replaying a 100 TB changelog
+    * (vs row_number, which shuffles every change row). The file-level
+    * twin of this query is `PartitionedWrite.upsertByKey`. */
+  def q90CdcApply(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        (col("o_orderkey") % CdcEntities).as("entity_id"),
+        col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("o_orderstatus"),
+        when(T.hashBucket(col("o_orderkey"), 10) >= 8, "D").otherwise("U").as("op"))
+      .groupBy("entity_id")
+      .agg(
+        count(lit(1)).as("n_changes"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
+        max(struct(col("o_orderdate"), col("o_orderkey"), col("op"),
+          col("o_totalprice"), col("o_orderstatus"))).as("m"))
+      .filter(col("m.op") =!= "D")
+      .select(col("entity_id"), col("n_changes"), col("n_deletes"),
+        col("m.o_orderkey").as("last_orderkey"),
+        col("m.o_totalprice").as("last_price"),
+        col("m.o_orderstatus").as("last_status"))
+      .orderBy("entity_id")
+
+  /** EWMA window depth and the exact dyadic weights alpha*(1-alpha)^k for
+    * alpha=1/4: 3^k/4^(k+1) is exactly representable as a double AND as a
+    * finite decimal, so both engines parse the identical weight. One
+    * source of truth — the Spark literals and the SQL text both render
+    * from these strings. */
+  val EwmaWeights: Seq[String] = Seq(
+    "0.25", "0.1875", "0.140625", "0.10546875", "0.0791015625",
+    "0.059326171875", "0.04449462890625", "0.0333709716796875")
+
+  /** Truncated exponentially-weighted moving average of event value per
+    * user (time-series smoothing): an 8-term lag composition with weights
+    * renormalized over the lags that exist, so early rows average their
+    * available history. A pure per-user window — one shuffle on the
+    * entity key, state per task bounded by one user's frame — and because
+    * the weights are literal dyadic rationals summed in fixed order, the
+    * result is bit-identical across engines before the final round. */
+  def q95Ewma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val lags = col("value") +:
+      (1 until EwmaWeights.size).map(k => lag(col("value"), k).over(w))
+    val num = EwmaWeights.indices.map { k =>
+      coalesce(lags(k) * lit(EwmaWeights(k).toDouble), lit(0.0))
+    }.reduce(_ + _)
+    val den = EwmaWeights.indices.map { k =>
+      when(lags(k).isNotNull, lit(EwmaWeights(k).toDouble)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ewma", round(num / den, 4))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q90_cdc_apply" -> (q90CdcApply _),
+    "q95_ewma" -> (q95Ewma _),
     "q85_profile" -> (q85Profile _),
     "q86_quality_gate" -> (q86QualityGate _),
     "q87_scd2" -> (q87Scd2 _),
@@ -578,6 +645,34 @@ object AnalyticsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q90_cdc_apply" ->
+      s"""WITH log AS (SELECT o_orderkey % $CdcEntities AS entity_id,
+         |  o_orderkey, o_orderdate, o_totalprice, o_orderstatus,
+         |  CASE WHEN ${T.hashBucketSql("o_orderkey", 10)} >= 8 THEN 'D' ELSE 'U' END AS op
+         |  FROM orders),
+         |latest AS (SELECT *, row_number() OVER
+         |  (PARTITION BY entity_id ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM log),
+         |agg AS (SELECT entity_id, count(*) AS n_changes,
+         |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+         |  FROM log GROUP BY entity_id)
+         |SELECT a.entity_id, a.n_changes, a.n_deletes,
+         |  l.o_orderkey AS last_orderkey, l.o_totalprice AS last_price,
+         |  l.o_orderstatus AS last_status
+         |FROM agg a JOIN latest l ON a.entity_id = l.entity_id AND l.rn = 1
+         |WHERE l.op <> 'D' ORDER BY a.entity_id""".stripMargin,
+    "q95_ewma" -> {
+      val lagSql = (k: Int) => if (k == 0) "value" else s"lag(value, $k) OVER w"
+      val num = EwmaWeights.indices
+        .map(k => s"coalesce(${lagSql(k)} * ${EwmaWeights(k)}, 0.0)").mkString(" + ")
+      val den = EwmaWeights.indices
+        .map(k => s"(CASE WHEN ${lagSql(k)} IS NOT NULL THEN ${EwmaWeights(k)} ELSE 0.0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+         |SELECT user_id, event_id, ts, value,
+         |  round(($num) / ($den), 4) AS ewma
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, ts, event_id""".stripMargin
+    },
     "q85_profile" -> profileOracleSql,
     "q86_quality_gate" ->
       """WITH s1 AS (SELECT

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => T}
@@ -191,7 +192,140 @@ object PipelineQueries {
       col("doc_id"), col("weight"), col("source"), k = 5)
       .orderBy(col("source"), col("priority").desc, col("doc_id"))
 
+  /** BM25 query terms / parameters (Robertson-Sparck Jones with the
+    * Lucene +1 idf floor; k1/b the standard defaults). */
+  val Bm25Terms: Seq[String] = Seq("spark", "merge", "window")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 retrieval scoring: rank the corpus for a fixed term query.
+    * Per-doc term frequencies are per-row array math (no explode); the
+    * corpus statistics (N, avgdl, per-term document frequencies) are ONE
+    * 1-row aggregate broadcast back over the scan — at 100 TB the corpus
+    * is read twice and nothing wider than a single stats row ever
+    * shuffles. Like q61 (TF-IDF), ordering is on the ROUNDED score with a
+    * doc_id tiebreak so a last-ulp ln() difference between engines can't
+    * flip the top-k boundary. */
+  def q91Bm25(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      .withColumn("dl", size(col("t")))
+    val withTf = Bm25Terms.zipWithIndex.foldLeft(t) { case (df, (term, i)) =>
+      df.withColumn(s"tf$i", size(filter(col("t"), x => x === lit(term))))
+    }.drop("t")
+    val stats = withTf.agg(
+      count(lit(1)).as("n"),
+      sum("dl").cast("double").as("sdl") +:
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df$i")): _*)
+    val avgdl = col("sdl") / col("n")
+    val score = Bm25Terms.indices.map { i =>
+      val tf = col(s"tf$i")
+      val idf = log((col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)) + lit(1.0))
+      // literals 2.2 / 1.2 / 0.25 / 0.75 are written identically in the
+      // DuckDB twin: both engines parse the same decimal to the same
+      // double, whereas computing k1+1 host-side could round differently
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: col("dl").as("n_tokens") +:
+        Bm25Terms.zipWithIndex.map { case (term, i) => col(s"tf$i").as(s"tf_$term") } :+
+        round(score, 4).as("bm25"): _*)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Per-source document cap (the fixture corpus carries 25-250 docs per
+    * source depending on SF, so 15 genuinely trims at every SF). */
+  val SourceCap = 15
+
+  /** Per-source corpus capping (the C4/Gopher "cap documents per domain"
+    * step): keep at most [[SourceCap]] docs per source, chosen by the
+    * portable md5 uniform so the kept SET is a pure function of doc
+    * identity — rerun on any cluster, same survivors. One group-key
+    * shuffle + per-group window; the kept-set md5 fingerprint (sorted
+    * doc_ids) proves set equality, not just counts, under the oracle. */
+  def q92SourceCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("u"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("u", T.hashUniform(col("doc_id")))
+      .withColumn("kept", row_number().over(w) <= SourceCap)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        (count(lit(1)) - sum(col("kept").cast("long"))).as("n_dropped"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(when(col("kept"), col("doc_id")))),
+            _.cast("string")))).as("kept_fp"))
+      .orderBy("source")
+  }
+
+  /** Shard count for the deterministic corpus shuffle. */
+  val NShards = 8
+
+  /** Deterministic corpus shuffle + sharding (training-order
+    * randomization): shard by one salted md5 bucket, position within the
+    * shard by an independent salted md5 key. This is hash-partition +
+    * sort-WITHIN-partition — Spark's native shuffle shape — so at 100 TB
+    * there is no global sort: each shard sorts independently
+    * (`repartition(shard).sortWithinPartitions(skey)` writes training
+    * shards straight out), yet the (shard, pos) assignment is a pure
+    * function of doc identity, reproducible on any cluster layout. */
+  def q93CorpusShuffle(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .withColumn("shard",
+        T.hashBucket(concat(lit("shard:"), col("doc_id").cast("string")), NShards).cast("int"))
+      .withColumn("skey", md5(concat(lit("epoch0:"), col("doc_id").cast("string"))))
+      .withColumn("pos", row_number().over(w))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
+  /** Alphabet for the character-entropy signal: the 26 ascii letters plus
+    * space — the characters the synthetic corpus (and most natural text)
+    * is made of. */
+  val EntropyAlphabet: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+
+  /** Character-distribution Shannon entropy per document — the classic
+    * low-entropy/gibberish quality signal (boilerplate and repeated-char
+    * junk score low, natural text ~4 bits). Counts come from the
+    * length-difference trick over a FIXED alphabet: 27 codegen'd
+    * replace/length pairs per row, zero explode, zero shuffle — the
+    * entropy of a 100 TB corpus costs one narrow scan. The entropy sum
+    * runs in literal alphabet order in both engines, so the only
+    * cross-engine FP risk is log2's last ulp, hidden by round(4). */
+  def q94CharEntropy(s: SparkSession, d: String): DataFrame = {
+    val lo = lower(col("text"))
+    val counts = EntropyAlphabet.map(c =>
+      length(lo) - length(call_function("replace", lo, lit(c), lit(""))))
+    val tot = counts.reduce(_ + _)
+    val totD = col("tot").cast("double")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id") +: counts.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+      .withColumn("tot", EntropyAlphabet.indices.map(i => col(s"c$i")).reduce(_ + _))
+    val terms = EntropyAlphabet.indices.map { i =>
+      val c = col(s"c$i")
+      when(c > 0, (c / totD) * log2(c / totD)).otherwise(lit(0.0))
+    }
+    base
+      .select(col("doc_id"), col("tot").as("n_alpha"),
+        EntropyAlphabet.indices.map(i => when(col(s"c$i") > 0, 1).otherwise(0)).reduce(_ + _)
+          .as("n_distinct_chars"),
+        when(col("tot") > 0, round(-terms.reduce(_ + _), 4)).otherwise(lit(0.0))
+          .as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q91_bm25" -> (q91Bm25 _),
+    "q92_source_cap" -> (q92SourceCap _),
+    "q93_corpus_shuffle" -> (q93CorpusShuffle _),
+    "q94_char_entropy" -> (q94CharEntropy _),
     "q62_stratified_sample" -> (q62StratifiedSample _),
     "q49_chunk_windows" -> (q49ChunkWindows _),
     "q50_contamination" -> (q50Contamination _),
@@ -211,7 +345,69 @@ object PipelineQueries {
       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 192.168.' || " +
       "CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
 
+  /** q94's per-char count as DuckDB SQL (length-difference trick). */
+  private def entCntSql(i: Int): String = {
+    val ch = if (EntropyAlphabet(i) == "'") "''" else EntropyAlphabet(i)
+    s"(length(s) - length(replace(s, '$ch', '')))"
+  }
+
+  private val bm25Sql: String = {
+    val tfs = Bm25Terms.indices.map(i =>
+      s"len(list_filter(t, x -> x = '${Bm25Terms(i)}')) AS tf$i").mkString(", ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(", ")
+    val terms = Bm25Terms.indices.map { i =>
+      s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
+        s"(tf$i + 1.2 * (0.25 + 0.75 * dl / (sdl / n)))"
+    }.mkString(" + ")
+    val outTf = Bm25Terms.zipWithIndex
+      .map { case (t, i) => s"CAST(tf$i AS INTEGER) AS tf_$t" }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |f AS (SELECT doc_id, len(t) AS dl, $tfs FROM d),
+       |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sdl, $dfs FROM f)
+       |SELECT doc_id, CAST(dl AS INTEGER) AS n_tokens, $outTf,
+       |  round($terms, 4) AS bm25
+       |FROM f CROSS JOIN st ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  private val charEntropySql: String = {
+    val n = EntropyAlphabet.size
+    val cnts = (0 until n).map(i => s"${entCntSql(i)} AS c$i").mkString(", ")
+    val tot = (0 until n).map(i => s"c$i").mkString(" + ")
+    val distinct = (0 until n).map(i => s"(CASE WHEN c$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val terms = (0 until n).map(i =>
+      s"(CASE WHEN c$i > 0 THEN (c$i / CAST(tot AS DOUBLE)) * log2(c$i / CAST(tot AS DOUBLE)) ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH lo AS (SELECT doc_id, lower(text) AS s FROM documents),
+       |c AS (SELECT doc_id, $cnts FROM lo),
+       |t AS (SELECT doc_id, *, ($tot) AS tot FROM c)
+       |SELECT doc_id, CAST(tot AS INTEGER) AS n_alpha,
+       |  CAST($distinct AS INTEGER) AS n_distinct_chars,
+       |  CASE WHEN tot > 0 THEN round(-($terms), 4) ELSE 0.0 END AS entropy_bits
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q91_bm25" -> bm25Sql,
+    "q92_source_cap" ->
+      s"""WITH u AS (SELECT source, doc_id, ${T.hashUniformSql("doc_id")} AS u FROM documents),
+         |r AS (SELECT source, doc_id,
+         |  row_number() OVER (PARTITION BY source ORDER BY u, doc_id) <= $SourceCap AS kept
+         |  FROM u)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  md5(array_to_string(list_sort(list(doc_id) FILTER (WHERE kept)), ',')) AS kept_fp
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q93_corpus_shuffle" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  ${T.hashBucketSql("'shard:' || CAST(doc_id AS VARCHAR)", NShards)} AS shard,
+         |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents)
+         |SELECT CAST(shard AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INTEGER) AS pos,
+         |  doc_id
+         |FROM d ORDER BY shard, pos""".stripMargin,
+    "q94_char_entropy" -> charEntropySql,
     "q49_chunk_windows" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |n AS (SELECT doc_id, t, len(t) AS n,

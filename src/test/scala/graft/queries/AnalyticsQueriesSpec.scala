@@ -394,4 +394,60 @@ class AnalyticsQueriesSpec extends SparkSpec {
     // parts with more suppliers rank higher: spot the extremes make sense
     assert(got.values.max > got.values.min, "graph must not be rank-uniform")
   }
+
+  test("q90 CDC compaction agrees with an in-memory latest-op-wins replay") {
+    val log = graft.core.Tables.orders(spark, d)
+      .select(col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("odate"),
+        col("o_totalprice"), col("o_orderstatus"))
+      .as[(Long, Long, Double, String)].collect()
+    def bucket(k: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(4), 16) % 10
+    }
+    val byEntity = log.groupBy(_._1 % AnalyticsQueries.CdcEntities)
+    val want = byEntity.flatMap { case (ent, rows) =>
+      val latest = rows.maxBy(r => (r._2, r._1))
+      if (bucket(latest._1) >= 8) None // tombstone wins: entity absent
+      else Some(ent -> (rows.size.toLong, rows.count(r => bucket(r._1) >= 8).toLong,
+        latest._1, latest._3, latest._4))
+    }
+    val got = AnalyticsQueries.q90CdcApply(spark, d)
+      .as[(Long, Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(got == want, "CDC compaction must equal the in-memory replay")
+    assert(byEntity.size > got.size, "fixture must produce some tombstoned entities")
+  }
+
+  test("q95 EWMA: first event equals its value, constant series stays constant") {
+    val got = AnalyticsQueries.q95Ewma(spark, d)
+      .select("user_id", "event_id", "value", "ewma")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    // replay in arrival order per user: the first row's EWMA is its value
+    val events = graft.core.Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(e => (e._1, e._2, e._3))
+    val firstPerUser = events.groupBy(_._1).map { case (u, es) => (u, es.head._3, es.head._4) }
+    val gotMap = got.map(r => (r._1, r._2) -> r._4).toMap
+    firstPerUser.foreach { case (u, eid, v) =>
+      val r = gotMap((u, eid))
+      assert(math.abs(r - BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"user $u first EWMA must equal first value")
+    }
+    // weights renormalize: every EWMA lies within the running min/max of
+    // the last 8 values — the defining envelope of a weighted average
+    val win: Map[(Long, Long), (Double, Double)] =
+      events.groupBy(_._1).iterator.flatMap { case (u, es) =>
+        es.zipWithIndex.map { case (e, i) =>
+          val lastK = es.slice(math.max(0, i - 7), i + 1).map(_._4)
+          (u, e._3) -> (lastK.min, lastK.max)
+        }
+      }.toMap
+    got.foreach { case (u, eid, _, ew) =>
+      val (lo, hi) = win((u, eid))
+      assert(ew >= lo - 5e-5 && ew <= hi + 5e-5, s"user $u event $eid EWMA outside envelope")
+    }
+  }
 }

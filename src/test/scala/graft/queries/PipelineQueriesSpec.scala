@@ -78,4 +78,73 @@ class PipelineQueriesSpec extends SparkSpec {
       assert(n > 0 && bits > 0.0 && !bits.isNaN && !bits.isInfinite)
     }
   }
+
+  test("q91 bm25 top-20 matches an in-memory BM25 over the same corpus") {
+    val docs = graft.core.Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val n = docs.length.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    val dfs = PipelineQueries.Bm25Terms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    def score(id: Long): Double = PipelineQueries.Bm25Terms.map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      val df = dfs(t)
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks(id).size / avgdl))
+    }.sum
+    val want = docs.map(_._1)
+      .map(id => (id, BigDecimal(score(id)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (id, sc) => (-sc, id) }.take(20).toSeq
+    val got = PipelineQueries.q91Bm25(spark, d)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toSeq
+    assert(got == want, "distributed BM25 top-20 must equal the in-memory ranking")
+    assert(got.head._2 > 0.0)
+  }
+
+  test("q92 keeps exactly min(cap, n) docs per source and caps at least one source") {
+    val got = PipelineQueries.q92SourceCap(spark, d)
+      .as[(String, Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, nDocs, nKept, nDropped, fp) =>
+      assert(nKept == math.min(PipelineQueries.SourceCap.toLong, nDocs), src)
+      assert(nDropped == nDocs - nKept, src)
+      assert(fp.length == 32, src)
+    }
+    assert(got.exists(_._4 > 0), "fixture must exercise the cap (some source over it)")
+  }
+
+  test("q93 shuffle is a permutation: every doc once, positions dense per shard") {
+    val got = PipelineQueries.q93CorpusShuffle(spark, d)
+      .as[(Int, Int, Long)].collect()
+    assert(got.map(_._3).distinct.length == 500, "every doc exactly once")
+    got.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < PipelineQueries.NShards)
+      assert(rows.map(_._2).sorted.toList == (1 to rows.size).toList,
+        s"shard $shard positions not dense")
+    }
+    // determinism: a second run is identical
+    val again = PipelineQueries.q93CorpusShuffle(spark, d)
+      .as[(Int, Int, Long)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("q94 entropy matches an in-memory recompute and is bounded by log2(|alphabet|)") {
+    val docs = graft.core.Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val maxBits = math.log(PipelineQueries.EntropyAlphabet.size.toDouble) / math.log(2.0)
+    val got = PipelineQueries.q94CharEntropy(spark, d)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(got.length == 500)
+    got.foreach { case (id, nAlpha, nDistinct, bits) =>
+      assert(bits >= 0.0 && bits <= maxBits + 1e-9, s"doc $id entropy out of range")
+      val s = docs(id).toLowerCase
+      val counts = PipelineQueries.EntropyAlphabet
+        .map(c => s.count(_ == c.head)).filter(_ > 0)
+      assert(nAlpha == counts.sum, s"doc $id n_alpha")
+      assert(nDistinct == counts.size, s"doc $id distinct chars")
+      val tot = counts.sum.toDouble
+      val want = -counts.map(c => (c / tot) * (math.log(c / tot) / math.log(2.0))).sum
+      assert(math.abs(bits - want) < 5e-4, s"doc $id entropy $bits vs $want")
+    }
+  }
 }
