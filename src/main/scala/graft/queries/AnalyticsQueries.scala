@@ -593,9 +593,30 @@ object AnalyticsQueries {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Event-type transition matrix (first-order Markov model of user
+    * behavior): counts and row-normalized probabilities of consecutive
+    * (prev -> next) event-type pairs per user timeline. The lag window
+    * shuffles once on the entity key; the transition matrix itself is
+    * event-type-vocabulary-sized, so the second aggregate and the
+    * normalizing window run on a dictionary-scale frame. p is one
+    * division of exact integer counts — bit-equal across engines. */
+  def q96Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") / sum("n").over(Window.partitionBy("prev_type")).cast("double"), 4))
+      .orderBy("prev_type", "next_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q90_cdc_apply" -> (q90CdcApply _),
     "q95_ewma" -> (q95Ewma _),
+    "q96_transitions" -> (q96Transitions _),
     "q85_profile" -> (q85Profile _),
     "q86_quality_gate" -> (q86QualityGate _),
     "q87_scd2" -> (q87Scd2 _),
@@ -673,6 +694,14 @@ object AnalyticsQueries {
          |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY user_id, ts, event_id""".stripMargin
     },
+    "q96_transitions" ->
+      """WITH t AS (SELECT user_id, event_type AS next_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, next_type, count(*) AS n,
+        |  round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS p
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
     "q85_profile" -> profileOracleSql,
     "q86_quality_gate" ->
       """WITH s1 AS (SELECT

@@ -25,6 +25,23 @@ object EventStreams {
   /** Session accumulator (public: Catalyst codegen instantiates it). */
   case class SessionState(start: Long, lastSeen: Long, n: Long, total: Double)
 
+  /** Streaming latest-snapshot (running CDC upsert): the latest event per
+    * user maintained as a complete/update-mode max(struct) aggregation —
+    * the streaming twin of the batch q81 snapshot and the stateful half of
+    * q90's changelog compaction. max is a combinable aggregate, so state
+    * per key is ONE struct regardless of stream volume (partials merge
+    * map-side within each micro-batch, then into the state store), which
+    * is what makes a 100 TB/day changelog sustainable: the store holds
+    * |keys| rows, never |events|. No watermark: an upsert view must accept
+    * arbitrarily late rows (late data folds into the same max). */
+  def latestSnapshot(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("last_ts"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"), col("m.value").as("last_value"))
+
   /** Tumbling 1-hour counts per event type with a watermark for state GC —
     * streaming twin of Relational.q25Tumbling. */
   def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =

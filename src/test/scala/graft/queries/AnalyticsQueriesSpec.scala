@@ -450,4 +450,28 @@ class AnalyticsQueriesSpec extends SparkSpec {
       assert(ew >= lo - 5e-5 && ew <= hi + 5e-5, s"user $u event $eid EWMA outside envelope")
     }
   }
+
+  test("q96 transition matrix conserves counts and rows normalize to 1") {
+    val got = AnalyticsQueries.q96Transitions(spark, d)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val events = graft.core.Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    // every user with n events contributes exactly n-1 transitions
+    val wantTotal = events.groupBy(_._1).values.map(_.length - 1L).sum
+    assert(got.map(_._3).sum == wantTotal, "transition count conservation")
+    // in-memory recompute of the full matrix
+    val wantCounts = events.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2, e._3)).sliding(2).collect {
+        case Array(a, b) => (a._4, b._4)
+      }
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == wantCounts)
+    // probabilities: each prev_type row sums to ~1 (4-decimal rounding)
+    got.groupBy(_._1).foreach { case (prev, rows) =>
+      val s = rows.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"row $prev sums to $s")
+    }
+  }
 }

@@ -393,4 +393,30 @@ class EventStreamsSpec extends SparkSpec {
     }
     assert(batch.exists(_._5 == 3), "fixture must contain full conversions")
   }
+
+  test("streaming latest-snapshot equals batch q81 after out-of-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+      // adversarial arrival order (deterministic): no watermark, so even
+      // fully-reversed arrival must fold into the same per-key max
+      .sortBy(e => (e.event_id * 2654435761L) % 1000003L)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.latestSnapshot(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("snap_out")
+      .start()
+    fixture.grouped((fixture.length + 2) / 3).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("snap_out")
+      .orderBy("user_id")
+      .as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+    val want = graft.queries.AnalyticsQueries
+      .q81LatestSnapshot(spark, "/root/testdata/sf0.001")
+      .as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+    assert(got == want, "streaming upsert view must equal the batch snapshot")
+    assert(got.nonEmpty)
+  }
 }
