@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{SimHash, TextFunctions => T, VectorFunctions => V}
 
@@ -318,6 +319,42 @@ object Dedup {
     * superset of the true >= threshold pairs (recall pinned in
     * DedupSpec), which is what makes the engine-specific candidate
     * generators DuckDB-oracle-verifiable end to end. */
+  /** Prefix-filtering candidate generation (the SSJoin/AllPairs family:
+    * Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07 "Scaling Up All
+    * Pairs"): under ONE global shingle order (document frequency
+    * ascending, shingle text as tiebreak — rarest first), two shingle
+    * sets with Jaccard >= t must share an element inside their first
+    * |X| - ceil(t|X|) + 1 shingles: a qualifying pair has
+    * |A∩B| >= t|A∪B| >= ceil(t|X|) common shingles, which cannot all
+    * hide in a suffix of size ceil(t|X|) - 1. So only PREFIXES join.
+    * This is the exact, hash-free alternative to [[minhashLsh]]: no
+    * recall parameter to tune, and on a mostly-unique corpus the
+    * rare-shingle prefixes are near-disjoint, so the candidate join
+    * stays sparse — the df-ascending order is precisely what makes the
+    * join keys unpopular. Scale notes: the df table is
+    * shingle-vocabulary-sized; ranking is a per-doc window (one shuffle
+    * on doc id); the candidate join inherits ngramJaccard's hot-key
+    * exposure ONLY for shingles that land in many prefixes, which the
+    * ordering makes rare by construction.
+    *
+    * Output: (id_a, id_b) candidates — a provable superset of the
+    * >= t pairs; verify with [[verifiedJaccard]] to make it exact. */
+  def prefixCandidates(docs: DataFrame, threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n, 0L)
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("id")
+    val prefix = sh.join(dfs, Seq("shingle"))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1))
+      .select("id", "shingle")
+    prefix.select(col("shingle"), col("id").as("id_a"))
+      .join(prefix.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   def verifiedJaccard(docs: DataFrame, candidates: DataFrame,
       threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

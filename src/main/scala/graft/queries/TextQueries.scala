@@ -99,6 +99,20 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Prefix-filtering near-dup join (SSJoin/AllPairs candidates +
+    * exact verification): the hash-free exact counterpart to q35/q36 —
+    * candidates come from joining only each doc's rarest
+    * |d| - ceil(0.5|d|) + 1 shingles under the global df order. Oracle =
+    * exact all-pairs Jaccard, so the hash-match is simultaneously a
+    * correctness proof of the prefix bound on this corpus. */
+  def q97PrefixJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.verifiedJaccard(docs,
+      Dedup.prefixCandidates(docs, threshold = 0.5),
+      threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Rolling-fingerprint algebra self-check (fp(a++b) == fp(a)·31^|b| +
     * fp(b) mod M per doc) — the xxhash64-based VALUE is engine-specific,
     * but the composition property is oracle-checkable: DuckDB predicts
@@ -245,6 +259,7 @@ object TextQueries {
     "q33_dedup_exact" -> (q33DedupExact _),
     "q34_ngram_jaccard" -> (q34NgramJaccard _),
     "q35_minhash_lsh" -> (q35MinhashLsh _),
+    "q97_prefix_join" -> (q97PrefixJoin _),
     "q36_simhash_pairs" -> (q36Simhash _),
     "q37_rolling_fingerprint" -> (q37RollingFingerprint _),
     "q44_dedup_clusters" -> (q44DedupClusters _),
@@ -345,6 +360,7 @@ object TextQueries {
     // the hash-match IS the recall proof (engine-specific hashing never
     // reaches the output).
     "q35_minhash_lsh" -> exactJaccardSql,
+    "q97_prefix_join" -> exactJaccardSql,
     "q36_simhash_pairs" -> exactJaccardSql,
     "q37_rolling_fingerprint" ->
       "SELECT doc_id, true AS consistent FROM documents ORDER BY doc_id",

@@ -172,4 +172,24 @@ class DedupSpec extends SparkSpec {
     assert(viaMinhash == exact)
     assert(viaSimhash == exact)
   }
+
+  test("prefix-filter candidates are a superset of qualifying pairs and prune hard") {
+    // fixture corpus: a planted near-dup cluster over unrelated docs
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val truePairs = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.prefixCandidates(corpus, threshold = 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(truePairs.subsetOf(cands),
+      s"prefix filter lost ${(truePairs -- cands).size} qualifying pairs")
+    val n = corpus.count()
+    val allPairs = n * (n - 1) / 2
+    assert(cands.size < allPairs / 10,
+      s"prefix filter must prune: ${cands.size} candidates of $allPairs pairs")
+    // end-to-end: verification makes the output exactly the true pair set
+    val verified = Dedup.verifiedJaccard(corpus,
+      Dedup.prefixCandidates(corpus, threshold = 0.5), threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified == truePairs)
+  }
 }

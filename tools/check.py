@@ -31,11 +31,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, present_only: bool = False) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if present_only:
+        # local fast-iteration mode: only grade queries graft.Verify dumped
+        # (the driver always checks the full battery — never use this to
+        # interpret a round artifact)
+        import os
+        oracle = {k: v for k, v in oracle.items()
+                  if os.path.isdir(f"{out_dir}/{k}")}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -73,4 +80,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--present-only"]
+    sys.exit(main(args[0], args[1], "--present-only" in sys.argv[1:]))
