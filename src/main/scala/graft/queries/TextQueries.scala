@@ -113,6 +113,36 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The q98 search phrase (present at every fixture SF). */
+  val Phrase: Seq[String] = Seq("data", "table", "scan")
+
+  /** Phrase search via inverted-posting intersection: occurrences of a
+    * 3-token phrase found by joining positional postings
+    * (doc_id, position) of each phrase term on consecutive positions —
+    * the retrieval-engine formulation. At corpus scale this is the shape
+    * that wins: the corpus is tokenized ONCE into postings
+    * (position-stamped explode, no shuffle until the join), each join key
+    * is (doc_id, position) — maximally selective — and intersecting from
+    * the rarest term first means candidate postings shrink at every step,
+    * vs a full-text contains() rescan per query. Counts overlapping
+    * occurrences (start positions), which substring replace()-counting
+    * gets wrong. Output: doc_id, n_hits, first_pos. */
+  def q98PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val posting = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(T.tokens(col("text"))).as(Seq("p", "term")))
+      .filter(col("term").isin(Phrase: _*))
+    // intersect rarest-first: the fixture terms are near-uniform so the
+    // literal order stands in for the df-ascending order a planner would
+    // pick; each step is an equi-join on (doc_id, exact position)
+    val starts = Phrase.zipWithIndex.map { case (t, i) =>
+      posting.filter(col("term") === t)
+        .select(col("doc_id"), (col("p") - i).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    starts.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), (min("start") + 1).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-fingerprint algebra self-check (fp(a++b) == fp(a)·31^|b| +
     * fp(b) mod M per doc) — the xxhash64-based VALUE is engine-specific,
     * but the composition property is oracle-checkable: DuckDB predicts
@@ -260,6 +290,7 @@ object TextQueries {
     "q34_ngram_jaccard" -> (q34NgramJaccard _),
     "q35_minhash_lsh" -> (q35MinhashLsh _),
     "q97_prefix_join" -> (q97PrefixJoin _),
+    "q98_phrase_search" -> (q98PhraseSearch _),
     "q36_simhash_pairs" -> (q36Simhash _),
     "q37_rolling_fingerprint" -> (q37RollingFingerprint _),
     "q44_dedup_clusters" -> (q44DedupClusters _),
@@ -361,6 +392,13 @@ object TextQueries {
     // reaches the output).
     "q35_minhash_lsh" -> exactJaccardSql,
     "q97_prefix_join" -> exactJaccardSql,
+    "q98_phrase_search" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |p AS (SELECT doc_id, unnest(range(1, len(t)-1)) AS i, t FROM d WHERE len(t) >= 3),
+         |m AS (SELECT doc_id, i FROM p
+         |  WHERE t[i] = '${Phrase(0)}' AND t[i+1] = '${Phrase(1)}' AND t[i+2] = '${Phrase(2)}')
+         |SELECT doc_id, count(*) AS n_hits, CAST(min(i) AS BIGINT) AS first_pos
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q36_simhash_pairs" -> exactJaccardSql,
     "q37_rolling_fingerprint" ->
       "SELECT doc_id, true AS consistent FROM documents ORDER BY doc_id",
