@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{VectorFunctions => V}
@@ -77,7 +77,77 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** k-means cluster count / Lloyd iterations for [[q99Kmeans]]. */
+  val KmK = 4
+  val KmIters = 3
+  private val KmDim = 64
+
+  /** Deterministic integer k-means (the q68-PageRank discipline applied
+    * to clustering): Lloyd iterations over int8-QUANTIZED vectors with
+    * all distance and centroid arithmetic in exact integers — squared-L2
+    * distances are BIGINT sums, centroid components are
+    * floor(sum/count) on exactly-representable doubles — so every
+    * iteration is bit-identical across engines, partitionings, and
+    * cluster sizes, and the whole 3-iteration run has a DuckDB twin via
+    * unrolled CTEs. Seeding is data-deterministic (the quantized vectors
+    * of vec_id 0..k-1), ties break toward the lower centroid id.
+    *
+    * Scale shape: centroids are k×dim numbers — driver-resident between
+    * iterations (the documented bounded collect, as in knnIvfSeeded) and
+    * injected as literals, so ASSIGNMENT is a narrow map over the corpus
+    * (no join, no shuffle) and each iteration costs exactly one
+    * (cid, component) aggregate of k×dim rows. The corpus shuffles
+    * nothing but pre-combined partial sums, at any corpus size. */
+  def q99Kmeans(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        V.quantize(col("embedding"), V.quantScale(col("embedding"))).as("qv"))
+    def distTo(cv: Array[Long]): Column =
+      aggregate(
+        zip_with(col("qv"), typedlit(cv.toSeq),
+          (a, b) => (a.cast("long") - b) * (a.cast("long") - b)),
+        lit(0L), (acc, x) => acc + x)
+    def assigned(cents: Seq[(Int, Array[Long])]): DataFrame = {
+      val scored = cents.map { case (cid, cv) =>
+        struct(distTo(cv).as("dist"), lit(cid).as("cid"))
+      }
+      q.withColumn("m", array_min(array(scored: _*)))
+        .select(col("vec_id"), col("qv"),
+          col("m.cid").as("cid"), col("m.dist").as("dist"))
+    }
+    var cents: Seq[(Int, Array[Long])] = q.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cid"), col("qv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Int](1).map(_.toLong).toArray))
+      .sortBy(_._1).toSeq
+    for (_ <- 1 to KmIters) {
+      cents = assigned(cents)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy("cid", "i")
+        .agg(floor(sum(col("x").cast("long")).cast("double") / count(lit(1)))
+          .cast("long").as("comp"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("comp")))),
+          _.getField("comp")).as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).toSeq
+    }
+    val centroidSum = cents.map { case (cid, cv) =>
+      (col("cid") === cid, lit(cv.sum))
+    }.foldLeft(lit(null).cast("long")) { case (acc, (cond, v)) =>
+      when(cond, v).otherwise(acc)
+    }
+    assigned(cents).groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum("dist").as("inertia"),
+        min("vec_id").as("min_member"))
+      .withColumn("centroid_sum", centroidSum)
+      .orderBy("cid")
+  }
+
   val all: Map[String, Q] = Map(
+    "q99_kmeans" -> (q99Kmeans _),
     "q38_knn_bruteforce" -> (q38KnnBrute _),
     "q39_knn_lsh" -> (q39KnnLsh _),
     "q40_embed_neardup" -> (q40EmbedNearDup _),
@@ -85,7 +155,50 @@ object VectorQueries {
     "q47_embed_quantize" -> (q47EmbedQuantize _),
   )
 
+  /** DuckDB twin of [[q99Kmeans]]: the same quantization, seeding, and
+    * Lloyd iterations unrolled as CTEs (the q68 PageRank oracle
+    * technique). All arithmetic is integer-exact on both sides, so the
+    * match is bit-for-bit, not approximate. */
+  private val kmeansSql: String = {
+    val dim = 64
+    def dist(q: String, c: String): String =
+      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> ($q.qv[i] - $c.cv[i]) * ($q.qv[i] - $c.cv[i]))) AS BIGINT)"
+    val head =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, list_transform(v, x -> CAST(round(x /
+         |  (greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) / 127.0)) AS INTEGER)) AS qv
+         |  FROM e),
+         |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid,
+         |  list_transform(qv, x -> CAST(x AS BIGINT)) AS cv FROM q WHERE vec_id < $KmK)""".stripMargin
+    val iters = (1 to KmIters).map { n =>
+      s"""a${n}d AS (SELECT q.vec_id, q.qv, c.cid, ${dist("q", "c")} AS d
+         |  FROM q CROSS JOIN c${n - 1} c),
+         |a$n AS (SELECT vec_id, qv, cid, d FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a${n}d)
+         |  WHERE rn = 1),
+         |c${n}p AS (SELECT cid, i, CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS comp
+         |  FROM a$n CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) idx GROUP BY cid, i),
+         |c$n AS (SELECT cid, list(comp ORDER BY i) AS cv FROM c${n}p GROUP BY cid)""".stripMargin
+    }
+    val fin = KmIters + 1
+    s"""$head,
+       |${iters.mkString(",\n")},
+       |a${fin}d AS (SELECT q.vec_id, q.qv, c.cid, ${dist("q", "c")} AS d
+       |  FROM q CROSS JOIN c$KmIters c),
+       |a$fin AS (SELECT vec_id, cid, d FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a${fin}d)
+       |  WHERE rn = 1),
+       |cs AS (SELECT cid, CAST(list_sum(cv) AS BIGINT) AS centroid_sum FROM c$KmIters)
+       |SELECT a.cid, count(*) AS n_members, CAST(sum(a.d) AS BIGINT) AS inertia,
+       |  min(a.vec_id) AS min_member, cs.centroid_sum
+       |FROM a$fin a JOIN cs ON a.cid = cs.cid
+       |GROUP BY a.cid, cs.centroid_sum ORDER BY a.cid""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q99_kmeans" -> kmeansSql,
     "q38_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

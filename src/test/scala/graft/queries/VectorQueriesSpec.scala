@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-validation of the deterministic integer k-means against an
+  * independent in-memory Lloyd implementation (the PageRankReference
+  * pattern: same seeding and integer arithmetic, different code path). */
+class VectorQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def quantized: Map[Long, Array[Long]] =
+    graft.core.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        val sc = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-30) / 127.0
+        // HALF_UP (away from zero), matching Spark/DuckDB round — NOT
+        // Math.round, which sends -2.5 to -2 instead of -3
+        id -> v.map(x => BigDecimal(x.toDouble / sc)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+      }.toMap
+
+  private def lloyd(q: Map[Long, Array[Long]], k: Int, iters: Int)
+      : (Map[Long, Int], Map[Int, Array[Long]]) = {
+    var cents: Map[Int, Array[Long]] =
+      (0 until k).map(i => i -> q(i.toLong)).toMap
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(): Map[Long, Int] = q.map { case (id, v) =>
+      id -> cents.toSeq.map { case (cid, cv) => (dist(v, cv), cid) }.min._2
+    }
+    for (_ <- 1 to iters) {
+      val a = assign()
+      cents = a.groupBy(_._2).map { case (cid, members) =>
+        val vs = members.keys.map(q).toSeq
+        cid -> Array.tabulate(vs.head.length) { i =>
+          math.floor(vs.map(_(i)).sum.toDouble / vs.size).toLong
+        }
+      }
+    }
+    (assign(), cents)
+  }
+
+  test("q99 integer k-means equals an independent in-memory Lloyd run") {
+    val q = quantized
+    val (assign, cents) = lloyd(q, VectorQueries.KmK, VectorQueries.KmIters)
+    val wantByCluster = assign.groupBy(_._2).map { case (cid, m) =>
+      val members = m.keys.toSeq
+      val inertia = members.map { id =>
+        val cv = cents(cid)
+        q(id).zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+      cid -> (members.size.toLong, inertia, members.min, cents(cid).sum)
+    }
+    val got = VectorQueries.q99Kmeans(spark, d)
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got == wantByCluster,
+      "distributed and in-memory integer k-means must agree bit-for-bit")
+    assert(got.size > 1, "fixture must split into multiple clusters")
+    assert(got.values.map(_._1).sum == q.size, "every vector assigned once")
+  }
+}
