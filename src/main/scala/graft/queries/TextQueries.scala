@@ -113,6 +113,45 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q100's quality floor (tokens). Trims ~20% of the corpus at every
+    * SF, so the stage is genuinely exercised. */
+  val MinTokensE2e = 30
+
+  /** The capstone: a user's ACTUAL training-data pipeline, end to end —
+    * quality gate (>= [[MinTokensE2e]] tokens) → exact dedup (min-id per
+    * content fingerprint) → near-dup removal (exact-Jaccard pairs over
+    * the survivors → connected components → keep the representative) →
+    * deterministic 80/10/10 split → per-(split, source) doc/token counts
+    * with a kept-set md5 fingerprint proving SET equality, not just
+    * counts. Every stage reuses the battery's machinery (q31, q33, q34,
+    * q44, q48 semantics) and stays a pure function of document identity
+    * and content, so the whole pipeline is reproducible on any cluster —
+    * and DuckDB-verifiable as ONE query. */
+  def q100PipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val quality = Tables.documents(s, d)
+      .filter(T.nTokens(col("text")) >= MinTokensE2e)
+    val exactKept = quality
+      .withColumn("fp", T.contentFingerprint(col("text")))
+      .withColumn("min_id", min("doc_id").over(w))
+      .filter(col("doc_id") === col("min_id"))
+      .drop("fp", "min_id")
+    val pairs = Dedup.ngramJaccard(exactKept, n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    val comp = ConnectedComponents.resolve(pairs)
+      .withColumnRenamed("id", "doc_id")
+    exactKept.join(comp, Seq("doc_id"), "left")
+      .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      .withColumn("split", T.splitLabel(col("doc_id")))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(T.nTokens(col("text")).cast("long")).as("n_tokens"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))), _.cast("string"))))
+          .as("kept_fp"))
+      .orderBy("split", "source")
+  }
+
   /** The q98 search phrase (present at every fixture SF). */
   val Phrase: Seq[String] = Seq("data", "table", "scan")
 
@@ -291,6 +330,7 @@ object TextQueries {
     "q35_minhash_lsh" -> (q35MinhashLsh _),
     "q97_prefix_join" -> (q97PrefixJoin _),
     "q98_phrase_search" -> (q98PhraseSearch _),
+    "q100_pipeline_e2e" -> (q100PipelineE2e _),
     "q36_simhash_pairs" -> (q36Simhash _),
     "q37_rolling_fingerprint" -> (q37RollingFingerprint _),
     "q44_dedup_clusters" -> (q44DedupClusters _),
@@ -392,6 +432,35 @@ object TextQueries {
     // reaches the output).
     "q35_minhash_lsh" -> exactJaccardSql,
     "q97_prefix_join" -> exactJaccardSql,
+    "q100_pipeline_e2e" ->
+      s"""WITH RECURSIVE raw AS (SELECT doc_id, source, text,
+         |  string_split(text, ' ') AS t FROM documents),
+         |q AS (SELECT * FROM raw WHERE len(t) >= $MinTokensE2e),
+         |ex AS (SELECT *, row_number() OVER
+         |  (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn FROM q),
+         |d2 AS (SELECT doc_id, source, t FROM ex WHERE rn = 1),
+         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+         |  i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM d2 WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY id_a, id_b),
+         |jac AS (SELECT id_a, id_b
+         |  FROM cand JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM jac
+         |  UNION ALL SELECT id_b AS u, id_a AS v FROM jac),
+         |reach AS (SELECT doc_id AS id, doc_id AS r FROM d2
+         |  UNION SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         |kept AS (SELECT d2.doc_id, d2.source, d2.t FROM d2
+         |  JOIN comp USING (doc_id) WHERE comp.component = d2.doc_id),
+         |lab AS (SELECT doc_id, source, t,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT *, ${T.hashBucketSql("doc_id", 100)} AS b FROM kept) x)
+         |SELECT split, source, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS kept_fp
+         |FROM lab GROUP BY split, source ORDER BY split, source""".stripMargin,
     "q98_phrase_search" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |p AS (SELECT doc_id, unnest(range(1, len(t)-1)) AS i, t FROM d WHERE len(t) >= 3),

@@ -28,6 +28,33 @@ class TextQueriesSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must contain the phrase")
   }
 
+  test("q100 pipeline stages compose: counts conserve and near-dups collapse") {
+    val docs = graft.core.Tables.documents(spark, d)
+    val total = docs.count()
+    val qualityPass = docs
+      .filter(size(split(col("text"), " ")) >= TextQueries.MinTokensE2e).count()
+    val got = TextQueries.q100PipelineE2e(spark, d)
+      .as[(String, String, Long, Long, String)].collect()
+    val kept = got.map(_._3).sum
+    assert(kept <= qualityPass && qualityPass < total,
+      s"stage monotonicity: $kept <= $qualityPass < $total")
+    // the planted near-dup cluster (q34's pairs) must collapse: each
+    // cluster among the quality survivors keeps exactly its representative
+    val pairRows = TextQueries.q34NgramJaccard(spark, d)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val dupDocs = pairRows.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(dupDocs.nonEmpty, "fixture must contain near-dups")
+    assert(kept < qualityPass || dupDocs.forall { id =>
+      docs.filter(col("doc_id") === id)
+        .filter(size(split(col("text"), " ")) >= TextQueries.MinTokensE2e).count() == 0
+    }, "near-dup removal must drop at least one quality-passing duplicate")
+    got.foreach { case (split, _, n, tok, fp) =>
+      assert(Seq("train", "val", "test").contains(split))
+      assert(n > 0 && tok >= n * TextQueries.MinTokensE2e, "token floor holds")
+      assert(fp.length == 32)
+    }
+  }
+
   test("q98 plan shape counts repeated occurrences and 1-based offsets") {
     val df = Seq(
       (1L, "data table scan data table scan"),
