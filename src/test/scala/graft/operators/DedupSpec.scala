@@ -192,4 +192,28 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(verified == truePairs)
   }
+
+  test("prefix-filter bound holds on random corpora across thresholds") {
+    // randomized trial of the SSJoin prefix theorem: on corpora designed
+    // to produce borderline Jaccard values (tiny vocab, short docs), the
+    // verified prefix-join output must equal exact ngramJaccard for
+    // every threshold — a fixture can't probe the bound's edge cases,
+    // random borderline pairs can
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 5; t <- Seq(0.3, 0.5, 0.8)) {
+      val corpus = (0L until 30L).map { id =>
+        val n = 5 + rnd.nextInt(8)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val exact = Dedup.ngramJaccard(corpus, n = 3, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val viaPrefix = Dedup.verifiedJaccard(corpus,
+        Dedup.prefixCandidates(corpus, threshold = t), threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(viaPrefix == exact,
+        s"trial $trial t=$t: prefix join lost ${(exact -- viaPrefix).size} / " +
+          s"invented ${(viaPrefix -- exact).size} pairs")
+    }
+  }
 }

@@ -63,4 +63,16 @@ class VectorQueriesSpec extends SparkSpec {
     assert(got.size > 1, "fixture must split into multiple clusters")
     assert(got.values.map(_._1).sum == q.size, "every vector assigned once")
   }
+
+  test("q99 is invariant to shuffle partitioning (the determinism claim)") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = VectorQueries.q99Kmeans(spark, d)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val b = VectorQueries.q99Kmeans(spark, d)
+        .as[(Int, Long, Long, Long, Long)].collect().toSeq
+      assert(a == b, "k-means output must not depend on partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
