@@ -293,30 +293,29 @@ object PipelineQueries {
 
   /** Character-distribution Shannon entropy per document — the classic
     * low-entropy/gibberish quality signal (boilerplate and repeated-char
-    * junk score low, natural text ~4 bits). Counts come from the
-    * length-difference trick over a FIXED alphabet: 27 codegen'd
-    * replace/length pairs per row, zero explode, zero shuffle — the
-    * entropy of a 100 TB corpus costs one narrow scan. The entropy sum
-    * runs in literal alphabet order in both engines, so the only
-    * cross-engine FP risk is log2's last ulp, hidden by round(4). */
+    * junk score low, natural text ~4 bits). Counts come from the custom
+    * codegen'd [[graft.functions.CharCountsExpr]]: ONE string pass per
+    * row (the pure-functions alternative needs one replace/length pair
+    * per alphabet char = 27 scans), zero explode, zero shuffle — the
+    * entropy of a 100 TB corpus costs one narrow scan. The entropy fold
+    * runs in alphabet order in both engines (array fold here, literal
+    * term chain in the DuckDB twin — identical left-to-right sums), so
+    * the only cross-engine FP risk is log2's last ulp, hidden by
+    * round(4). */
   def q94CharEntropy(s: SparkSession, d: String): DataFrame = {
-    val lo = lower(col("text"))
-    val counts = EntropyAlphabet.map(c =>
-      length(lo) - length(call_function("replace", lo, lit(c), lit(""))))
-    val tot = counts.reduce(_ + _)
     val totD = col("tot").cast("double")
-    val base = Tables.documents(s, d)
-      .select(col("doc_id") +: counts.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
-      .withColumn("tot", EntropyAlphabet.indices.map(i => col(s"c$i")).reduce(_ + _))
-    val terms = EntropyAlphabet.indices.map { i =>
-      val c = col(s"c$i")
-      when(c > 0, (c / totD) * log2(c / totD)).otherwise(lit(0.0))
-    }
-    base
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.CharCountsFn
+          .charCounts(lower(col("text")), EntropyAlphabet.mkString).as("cnt"))
+      .withColumn("tot", aggregate(col("cnt"), lit(0), (a, c) => a + c))
       .select(col("doc_id"), col("tot").as("n_alpha"),
-        EntropyAlphabet.indices.map(i => when(col(s"c$i") > 0, 1).otherwise(0)).reduce(_ + _)
+        aggregate(col("cnt"), lit(0), (a, c) => a + when(c > 0, 1).otherwise(0))
           .as("n_distinct_chars"),
-        when(col("tot") > 0, round(-terms.reduce(_ + _), 4)).otherwise(lit(0.0))
+        when(col("tot") > 0,
+          round(-aggregate(col("cnt"), lit(0.0),
+            (a, c) => a + when(c > 0, (c / totD) * log2(c / totD)).otherwise(lit(0.0))), 4))
+          .otherwise(lit(0.0))
           .as("entropy_bits"))
       .orderBy("doc_id")
   }

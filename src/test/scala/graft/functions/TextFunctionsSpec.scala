@@ -103,4 +103,26 @@ class TextFunctionsSpec extends SparkSpec {
     val inFull = df.filter(col("doc_id") === 42L).select("split").as[String].head()
     assert(solo == inFull)
   }
+
+  test("charCounts: one-pass histogram equals naive counting, ignores out-of-alphabet") {
+    val alphabet = ('a' to 'z').mkString + " "
+    val texts = Seq(
+      "abc cba  ",            // repeats + double space
+      "",                      // empty
+      "ZZZ 123 !?",            // upper/digits/punct not in alphabet; spaces are
+      "héllo wörld",           // non-ascii chars ignored, ascii ones counted
+      "the quick brown fox")
+    val got = texts.toDF("text")
+      .select(graft.functions.CharCountsFn.charCounts(col("text"), alphabet).as("c"))
+      .as[Seq[Int]].collect()
+    texts.zip(got).foreach { case (t, counts) =>
+      assert(counts.length == alphabet.length)
+      alphabet.zipWithIndex.foreach { case (ch, i) =>
+        assert(counts(i) == t.count(_ == ch), s"'$t' char '$ch'")
+      }
+    }
+    // index alignment: histogram order IS the alphabet order
+    val hello = got(3)
+    assert(hello(alphabet.indexOf('l')) == 3 && hello(alphabet.indexOf('h')) == 1)
+  }
 }
