@@ -33,13 +33,17 @@ object SparkEntry {
     * stay comparable across BENCH_r* artifacts. Round 3 appends the six
     * scale-interesting new operators (iterative connected components,
     * LSH-blocked embedding near-dup, contamination join, greedy packing,
-    * iterative integer PageRank, top-k triangle counting); the "total"
-    * metric therefore covers 18 queries from late round 3 on. */
+    * iterative integer PageRank, top-k triangle counting), and the late
+    * round-3 session appends three more (prefix-filter similarity join,
+    * iterative integer k-means, the q100 end-to-end pipeline); the
+    * "total" metric therefore covers 21 queries from then on — compare
+    * per-query across rounds, never totals. */
   def headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q07_multi_join",
     "q10_argmax_window", "q13_hindex", "q19_running_sum",
     "q21_cosupply_pairs", "q25_tumbling_window", "q27_sessionize",
     "q33_dedup_exact", "q38_knn_bruteforce", "q42_asof_join",
     "q40_embed_neardup", "q44_dedup_clusters", "q50_contamination",
-    "q54_pack_shards", "q68_pagerank", "q74_triangles")
+    "q54_pack_shards", "q68_pagerank", "q74_triangles",
+    "q97_prefix_join", "q99_kmeans", "q100_pipeline_e2e")
 }
