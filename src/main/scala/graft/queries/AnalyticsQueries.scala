@@ -613,7 +613,85 @@ object AnalyticsQueries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** The measure columns melted by [[q101Unpivot]]. */
+  val UnpivotMeasures: Seq[String] =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  /** Unpivot / melt (wide → long reshape): the four lineitem measures
+    * become (measure, value) rows via Spark's native `unpivot`, then one
+    * aggregate per measure. Expand-based like ROLLUP: one scan emits all
+    * measure rows map-side, so melting a 100 TB fact table costs one
+    * pass regardless of measure count — never k self-UNIONs (the oracle
+    * spells it as UNION ALL because DuckDB scans are free at fixture
+    * scale; the ENGINE plan is the one-scan Expand). */
+  def q101Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        UnpivotMeasures.map(col).toArray,
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("measure")
+
+  /** The full ranking/navigation window surface in one query: rank,
+    * dense_rank, percent_rank, cume_dist, lag/lead, first/last/nth value
+    * per customer over order history. percent_rank and cume_dist are
+    * single divisions of exact small integers — bit-equal across
+    * engines; the order key (date, orderkey) is total, so RANGE-frame
+    * peer groups are singletons and every function is deterministic.
+    * last/nth use an explicit full-partition frame (the default frame
+    * stops at the current row, which makes last_value a no-op — the
+    * classic window pitfall, pinned here on both sides). */
+  def q102WindowZoo(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        first("o_totalprice").over(wFull).as("first_price"),
+        last("o_totalprice").over(wFull).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Calendar-dimension build (the warehouse date spine): one row per
+    * day in the orders date range with year/quarter/month/day, a
+    * PORTABLE ISO day-of-week computed from epoch-day arithmetic
+    * ((days + 3) mod 7 + 1 — engine dow() conventions disagree, integer
+    * math doesn't), and month-start/end flags. Dates travel as ISO
+    * strings (q67's lesson: DATE rendering differs across the
+    * pandas/parquet bridges). The 1-row min/max aggregate broadcasts
+    * into a driver-free sequence explode — no shuffle but the output
+    * sort, and the spine is bounded by calendar days, not data size. */
+  def q103DateDim(s: SparkSession, d: String): DataFrame = {
+    val bounds = Tables.orders(s, d)
+      .agg(to_date(min("o_orderdate")).as("lo"), to_date(max("o_orderdate")).as("hi"))
+    bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("date_iso"),
+        year(col("day")).as("year"),
+        quarter(col("day")).as("quarter"),
+        month(col("day")).as("month"),
+        dayofmonth(col("day")).as("day_of_month"),
+        ((datediff(col("day"), to_date(lit("1970-01-01"))) + 3) % 7 + 1)
+          .as("iso_dow"),
+        (dayofmonth(col("day")) === 1).as("is_month_start"),
+        (col("day") === last_day(col("day"))).as("is_month_end"))
+      .orderBy("date_iso")
+  }
+
   val all: Map[String, Q] = Map(
+    "q101_unpivot" -> (q101Unpivot _),
+    "q102_window_zoo" -> (q102WindowZoo _),
+    "q103_date_dim" -> (q103DateDim _),
     "q90_cdc_apply" -> (q90CdcApply _),
     "q95_ewma" -> (q95Ewma _),
     "q96_transitions" -> (q96Transitions _),
@@ -666,6 +744,43 @@ object AnalyticsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q101_unpivot" -> {
+      val arms = UnpivotMeasures.map(m =>
+        s"SELECT l_orderkey, l_linenumber, '$m' AS measure, $m AS value FROM lineitem")
+      s"""WITH long AS (${arms.mkString("\n", "\nUNION ALL\n", "")})
+         |SELECT measure, count(*) AS n, round(sum(value), 2) AS total
+         |FROM long GROUP BY measure ORDER BY measure""".stripMargin
+    },
+    "q102_window_zoo" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    "q103_date_dim" ->
+      """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+        |  CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+        |s AS (SELECT CAST(day AS DATE) AS day FROM spine)
+        |SELECT strftime(day, '%Y-%m-%d') AS date_iso,
+        |  CAST(year(day) AS INT) AS year,
+        |  CAST(quarter(day) AS INT) AS quarter,
+        |  CAST(month(day) AS INT) AS month,
+        |  CAST(day(day) AS INT) AS day_of_month,
+        |  CAST((date_diff('day', DATE '1970-01-01', day) + 3) % 7 + 1 AS INT) AS iso_dow,
+        |  day(day) = 1 AS is_month_start,
+        |  day = last_day(day) AS is_month_end
+        |FROM s ORDER BY date_iso""".stripMargin,
     "q90_cdc_apply" ->
       s"""WITH log AS (SELECT o_orderkey % $CdcEntities AS entity_id,
          |  o_orderkey, o_orderdate, o_totalprice, o_orderstatus,

@@ -451,6 +451,58 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q101 melted totals equal the per-column aggregates") {
+    val got = AnalyticsQueries.q101Unpivot(spark, d)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == AnalyticsQueries.UnpivotMeasures.toSet)
+    AnalyticsQueries.UnpivotMeasures.foreach { m =>
+      val (n, tot) = graft.core.Tables.lineitem(spark, d)
+        .agg(count(lit(1)), round(sum(m), 2)).as[(Long, Double)].head()
+      assert(got(m) == ((n, tot)), s"measure $m")
+    }
+  }
+
+  test("q102 window functions agree with an in-memory replay per customer") {
+    val got = AnalyticsQueries.q102WindowZoo(spark, d).collect()
+    assert(got.nonEmpty)
+    val orders = graft.core.Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")), col("o_totalprice"))
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (c, os) => c -> os.sortBy(o => (o._3, o._2)) }
+    got.foreach { r =>
+      val os = orders(r.getAs[Long]("o_custkey"))
+      val i = os.indexWhere(_._2 == r.getAs[Long]("o_orderkey"))
+      val n = os.length
+      assert(r.getAs[Int]("rnk") == i + 1 && r.getAs[Int]("drnk") == i + 1)
+      val prnk = if (n == 1) 0.0 else i.toDouble / (n - 1)
+      assert(math.abs(r.getAs[Double]("prnk") - prnk) < 1e-6)
+      assert(math.abs(r.getAs[Double]("cdist") - (i + 1).toDouble / n) < 1e-6)
+      assert(Option(r.getAs[java.lang.Double]("prev_price")).map(_.toDouble) ==
+        (if (i > 0) Some(os(i - 1)._4) else None))
+      assert(r.getAs[Double]("first_price") == os.head._4)
+      assert(r.getAs[Double]("last_price") == os.last._4)
+      assert(Option(r.getAs[java.lang.Double]("second_price")).map(_.toDouble) ==
+        (if (n >= 2) Some(os(1)._4) else None))
+    }
+  }
+
+  test("q103 date spine is dense and the portable ISO dow cycles correctly") {
+    val got = AnalyticsQueries.q103DateDim(spark, d)
+      .select("date_iso", "iso_dow", "is_month_start", "is_month_end")
+      .as[(String, Int, Boolean, Boolean)].collect()
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val days = got.map(r => java.time.LocalDate.parse(r._1, fmt))
+    assert(days.zip(days.tail).forall { case (a, b) => b == a.plusDays(1) },
+      "spine must be consecutive days with no gaps")
+    got.zip(days).foreach { case ((_, dow, ms, me), day) =>
+      assert(dow == day.getDayOfWeek.getValue, s"$day dow")
+      assert(ms == (day.getDayOfMonth == 1))
+      assert(me == (day.getDayOfMonth == day.lengthOfMonth))
+    }
+  }
+
   test("q96 transition matrix conserves counts and rows normalize to 1") {
     val got = AnalyticsQueries.q96Transitions(spark, d)
       .as[(String, String, Long, Double)].collect()
