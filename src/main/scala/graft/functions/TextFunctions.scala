@@ -113,6 +113,22 @@ object TextFunctions {
     s"(((${terms.mkString(" + ")}) + 1) / 281474976710657.0)"
   }
 
+  /** Deterministic 48-bit integer hash of a string expression (the first
+    * 12 md5 hex digits) — the integer sibling of [[hashUniform]]. Values
+    * are < 2^48, so BIGINT sums of millions of them can't overflow: the
+    * building block for order- and partition-independent checksums. */
+  def hashInt48(v: Column): Column =
+    conv(substring(md5(v), 1, 12), 16, 10).cast("long")
+
+  /** DuckDB twin of [[hashInt48]] over a SQL string expression. */
+  def hashInt48Sql(v: String): String = {
+    val terms = (1 to 12).map { i =>
+      val mult = math.pow(16, 12 - i).toLong
+      s"(instr('0123456789abcdef', substring(md5($v), $i, 1)) - 1) * $mult"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
   /** 80/10/10 split label from [[hashBucket]] (buckets 0-79 train,
     * 80-89 val, 90-99 test). */
   def splitLabel(id: Column): Column = {

@@ -688,7 +688,52 @@ object AnalyticsQueries {
       .orderBy("date_iso")
   }
 
+  /** Trailing-window seconds for [[q104TrailingWindow]] (30 days). */
+  val TrailingSecs = 30L * 86400
+
+  /** Trailing 30-day aggregate per order — a RANGE frame over event TIME,
+    * not rows: for every order, the count and price sum of the same
+    * customer's orders in [t - 30d, t]. The row-frame forms (q19's
+    * running sum) can't express "last 30 days"; the range frame slides by
+    * VALUE, so gaps and bursts are handled correctly. One entity-key
+    * exchange; frame bounds are integer seconds, counts/sums of exact
+    * values — deterministic regardless of how many orders share a
+    * timestamp (value frames include all peers). */
+  def q104TrailingWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("ts_s"))
+      .rangeBetween(-TrailingSecs, 0)
+    Tables.orders(s, d)
+      .withColumn("ts_s",
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000"))
+      .select(col("o_custkey"), col("o_orderkey"), col("ts_s"), col("o_totalprice"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("sum_trailing", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "n_trailing", "sum_trailing")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Order-independent table checksum (cross-system reconciliation, the
+    * aggregate complement of q72's row-level diff): each row renders to a
+    * canonical string, hashes to a portable 48-bit integer
+    * ([[T.hashInt48]]), and the per-year SUM of those hashes is the
+    * checksum — sum is commutative, so the result is independent of row
+    * order, partitioning, and engine, and 2^48-bounded terms keep BIGINT
+    * sums overflow-free up to ~16k billion rows. Two tables agree on a
+    * year iff (n, checksum) match; no sort, no collect, one aggregate
+    * pass. Only integer/string columns render (float formatting is not
+    * portable across engines — the q85 lesson). */
+  def q105TableChecksum(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("rh", T.hashInt48(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))))
+      .groupBy(year(col("o_orderdate")).as("year"))
+      .agg(count(lit(1)).as("n_rows"), sum("rh").as("checksum"))
+      .orderBy("year")
+
   val all: Map[String, Q] = Map(
+    "q104_trailing_window" -> (q104TrailingWindow _),
+    "q105_table_checksum" -> (q105TableChecksum _),
     "q101_unpivot" -> (q101Unpivot _),
     "q102_window_zoo" -> (q102WindowZoo _),
     "q103_date_dim" -> (q103DateDim _),
@@ -744,6 +789,23 @@ object AnalyticsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q104_trailing_window" ->
+      s"""WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+         |  epoch(CAST(o_orderdate AS TIMESTAMP)) AS ts_s FROM orders)
+         |SELECT o_custkey, o_orderkey,
+         |  count(*) OVER w AS n_trailing,
+         |  round(sum(o_totalprice) OVER w, 2) AS sum_trailing
+         |FROM o
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_s
+         |  RANGE BETWEEN $TrailingSecs PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q105_table_checksum" -> {
+      val row = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+        "o_orderstatus || '|' || o_orderpriority"
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS year, count(*) AS n_rows,
+         |  CAST(sum(${T.hashInt48Sql(row)}) AS BIGINT) AS checksum
+         |FROM orders GROUP BY year ORDER BY year""".stripMargin
+    },
     "q101_unpivot" -> {
       val arms = UnpivotMeasures.map(m =>
         s"SELECT l_orderkey, l_linenumber, '$m' AS measure, $m AS value FROM lineitem")

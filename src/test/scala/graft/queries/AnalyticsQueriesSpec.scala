@@ -503,6 +503,55 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q104 trailing range-frame counts match an in-memory 30-day replay") {
+    val orders = graft.core.Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000"), col("o_totalprice"))
+      .as[(Long, Long, Long, Double)].collect()
+    val byCust = orders.groupBy(_._1)
+    val got = AnalyticsQueries.q104TrailingWindow(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == orders.length)
+    got.foreach { case (cust, key, n, _) =>
+      val mine = byCust(cust)
+      val t = mine.find(_._2 == key).get._3
+      val want = mine.count(o => o._3 <= t && o._3 >= t - AnalyticsQueries.TrailingSecs)
+      assert(n == want, s"customer $cust order $key")
+    }
+    assert(got.exists(_._3 > 1), "fixture must contain overlapping 30-day windows")
+  }
+
+  test("q105 checksum is order/partition independent and change-sensitive") {
+    val base = AnalyticsQueries.q105TableChecksum(spark, d)
+      .as[(Int, Long, Long)].collect().toSeq
+    // independence: in-memory recompute from an unordered collect
+    def h48(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rows = graft.core.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), year(col("o_orderdate")))
+      .as[(Long, Long, String, String, Int)].collect()
+    val want = rows.groupBy(_._5).map { case (y, rs) =>
+      (y, rs.length.toLong, rs.map(r => h48(s"${r._1}|${r._2}|${r._3}|${r._4}")).sum)
+    }.toSeq.sortBy(_._1)
+    assert(base == want, "checksum must equal the order-free in-memory sum")
+    // sensitivity: flipping one row's status changes exactly that year
+    val y0 = rows.head._5
+    val tampered = rows.map(r => r.copy(_5 = r._5)).map {
+      case r if r == rows.head => r.copy(_3 = r._3 + "X")
+      case r => r
+    }
+    val tw = tampered.groupBy(_._5).map { case (y, rs) =>
+      (y, rs.map(r => h48(s"${r._1}|${r._2}|${r._3}|${r._4}")).sum)
+    }
+    val bw = base.map(r => r._1 -> r._3).toMap
+    assert(tw(y0) != bw(y0), "a changed row must change its year's checksum")
+    tw.filter(_._1 != y0).foreach { case (y, c) => assert(c == bw(y), s"year $y untouched") }
+  }
+
   test("q96 transition matrix conserves counts and rows normalize to 1") {
     val got = AnalyticsQueries.q96Transitions(spark, d)
       .as[(String, String, Long, Double)].collect()
