@@ -731,7 +731,57 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_rows"), sum("rh").as("checksum"))
       .orderBy("year")
 
+  /** Max climb depth for [[q106Hierarchy]] (part keys have <= 8 digits;
+    * each climb strips one, so 8 iterations always reach the root). */
+  val HierMaxDepth = 8
+
+  /** Hierarchy / path-to-root traversal (the BOM / org-chart op family —
+    * distinct from CC and PageRank: per-node ROOT and DEPTH, not
+    * components or centrality). A synthetic but deterministic forest over
+    * `part`: a node's parent is p_partkey div 10 when that key exists in
+    * the table. The climb is an iterative self-join with a FIXED bound
+    * ([[HierMaxDepth]] — one decimal digit per level), so unlike a
+    * recursive CTE the distributed plan has a static depth: at 100 TB
+    * each round is one hash join on the ancestor key, and rows that
+    * reached their root pass through unchanged. */
+  def q106Hierarchy(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.part(s, d).select(col("p_partkey").as("k"))
+    val parents = Tables.part(s, d)
+      .select(col("p_partkey").as("node"), expr("p_partkey div 10").as("cand"))
+      .join(keys, col("cand") === col("k"), "left")
+      .select(col("node"),
+        when(col("k").isNotNull && col("cand") < col("node"), col("cand")).as("parent"))
+    var cur = parents.select(col("node"), col("node").as("anc"), lit(0).as("depth"))
+    for (_ <- 1 to HierMaxDepth) {
+      cur = cur
+        .join(parents.select(col("node").as("anc"), col("parent").as("up")), Seq("anc"), "left")
+        .select(col("node"),
+          coalesce(col("up"), col("anc")).as("anc"),
+          (col("depth") + when(col("up").isNotNull, 1).otherwise(0)).as("depth"))
+    }
+    cur.select(col("node"), col("anc").as("root"), col("depth"))
+      .orderBy("node")
+  }
+
+  /** Period-over-period growth (the BI staple): yearly revenue, the prior
+    * year's via lag, and the percent change. The totals are rounded
+    * BEFORE the ratio, so both engines divide identical doubles and the
+    * growth figure is deterministic; the aggregate is year-cardinality —
+    * dictionary-scale after one map-side-combined pass. */
+  def q107YoyGrowth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("year")
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("year"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .withColumn("prev_revenue", lag("revenue", 1).over(w))
+      .withColumn("yoy_pct",
+        round((col("revenue") / col("prev_revenue") - 1) * 100, 2))
+      .orderBy("year")
+  }
+
   val all: Map[String, Q] = Map(
+    "q106_hierarchy" -> (q106Hierarchy _),
+    "q107_yoy_growth" -> (q107YoyGrowth _),
     "q104_trailing_window" -> (q104TrailingWindow _),
     "q105_table_checksum" -> (q105TableChecksum _),
     "q101_unpivot" -> (q101Unpivot _),
@@ -789,6 +839,27 @@ object AnalyticsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q106_hierarchy" ->
+      """WITH RECURSIVE k AS (SELECT p_partkey AS node FROM part),
+        |par AS (SELECT a.node,
+        |  CASE WHEN b.node IS NOT NULL AND a.node // 10 < a.node THEN a.node // 10 END AS parent
+        |  FROM k a LEFT JOIN k b ON b.node = a.node // 10),
+        |climb AS (
+        |  SELECT node, node AS anc, 0 AS depth FROM k
+        |  UNION ALL
+        |  SELECT c.node, p.parent AS anc, c.depth + 1 FROM climb c
+        |  JOIN par p ON p.node = c.anc WHERE p.parent IS NOT NULL)
+        |SELECT node, anc AS root, CAST(depth AS INT) AS depth FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node ORDER BY depth DESC) AS rn
+        |  FROM climb) WHERE rn = 1 ORDER BY node""".stripMargin,
+    "q107_yoy_growth" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT year, n_orders, revenue,
+        |  lag(revenue, 1) OVER (ORDER BY year) AS prev_revenue,
+        |  round((revenue / lag(revenue, 1) OVER (ORDER BY year) - 1) * 100, 2) AS yoy_pct
+        |FROM y ORDER BY year""".stripMargin,
     "q104_trailing_window" ->
       s"""WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
          |  epoch(CAST(o_orderdate AS TIMESTAMP)) AS ts_s FROM orders)

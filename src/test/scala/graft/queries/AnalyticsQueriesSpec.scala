@@ -503,6 +503,48 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q106 hierarchy climb matches an in-memory path-to-root walk") {
+    val keys = graft.core.Tables.part(spark, d)
+      .select("p_partkey").as[Long].collect().toSet
+    def parent(n: Long): Option[Long] = {
+      val c = n / 10
+      if (keys.contains(c) && c < n) Some(c) else None
+    }
+    def walk(n: Long): (Long, Int) = {
+      var cur = n; var depth = 0
+      while (parent(cur).isDefined) { cur = parent(cur).get; depth += 1 }
+      (cur, depth)
+    }
+    val got = AnalyticsQueries.q106Hierarchy(spark, d)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == keys.size)
+    got.foreach { case (node, root, depth) =>
+      assert((root, depth) == walk(node), s"node $node")
+      assert(parent(root).isEmpty, s"root $root must be a fixpoint")
+    }
+    assert(got.exists(_._3 >= 2), "fixture forest must be at least 3 levels deep")
+  }
+
+  test("q107 growth figures match independently filtered yearly totals") {
+    val got = AnalyticsQueries.q107YoyGrowth(spark, d)
+      .as[(Int, Long, Double, Option[Double], Option[Double])].collect()
+    assert(got.length > 2 && got.head._4.isEmpty && got.head._5.isEmpty)
+    got.sliding(2).foreach {
+      case Array(prev, curr) =>
+        assert(curr._4.contains(prev._3))
+        val want = BigDecimal((curr._3 / prev._3 - 1) * 100)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(curr._5.get - want) < 1e-9, s"year ${curr._1}")
+      case _ =>
+    }
+    got.foreach { case (y, n, rev, _, _) =>
+      val (wn, wrev) = graft.core.Tables.orders(spark, d)
+        .filter(year(col("o_orderdate")) === y)
+        .agg(count(lit(1)), round(sum("o_totalprice"), 2)).as[(Long, Double)].head()
+      assert(n == wn && rev == wrev, s"year $y")
+    }
+  }
+
   test("q104 trailing range-frame counts match an in-memory 30-day replay") {
     val orders = graft.core.Tables.orders(spark, d)
       .select(col("o_custkey"), col("o_orderkey"),
