@@ -120,6 +120,8 @@ object VectorQueries {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Int](1).map(_.toLong).toArray))
       .sortBy(_._1).toSeq
+    require(cents.size == KmK,
+      s"k-means seeding needs vec_ids 0..${KmK - 1} present; found ${cents.size}")
     for (_ <- 1 to KmIters) {
       cents = assigned(cents)
         .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))

@@ -27,6 +27,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .as[String].collect().toSeq
       assert(got == Seq("Moller", "Sramek"))
 
+      // char_counts from SQL: one-pass histogram, literal alphabet
+      val cc = spark.sql("SELECT char_counts('abca', 'abc') AS c")
+        .as[Seq[Int]].head()
+      assert(cc == Seq(2, 1, 1))
+      val ccErr = intercept[Exception] {
+        spark.sql("SELECT char_counts('x', lower('AB')) AS c").collect()
+      }
+      assert(ccErr.getMessage.contains("literal"),
+        s"non-literal alphabet must be rejected: ${ccErr.getMessage}")
+
       // ArgmaxRewriteRule: the reference's theta-join argmax plan becomes a
       // window — no Join in the optimized plan, same rows incl. ties
       Seq(("a", 1, 10), ("a", 2, 30), ("a", 3, 30), ("b", 4, 5))
