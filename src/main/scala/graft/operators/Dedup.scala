@@ -348,10 +348,27 @@ object Dedup {
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
       .withColumn("n_sh", count(lit(1)).over(byDoc))
       .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1))
-      .select("id", "shingle")
-    prefix.select(col("shingle"), col("id").as("id_a"))
-      .join(prefix.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .select("id", "shingle", "rk", "n_sh")
+    // PPJoin positional filter (Xiao et al., WWW'08): when a pair first
+    // meets at prefix positions (i, j), its overlap can't exceed
+    // 1 + min(|A|-i, |B|-j); a qualifying pair needs overlap >=
+    // ceil(t/(1+t)·(|A|+|B|)), so rows whose positional upper bound falls
+    // short can't be a pair's FIRST meeting and pairs with no surviving
+    // row are provably below threshold. The 1e-9 slack keeps the required
+    // overlap STRICTLY conservative under FP ceil (an overshoot would
+    // drop true pairs; undershoot only admits extra candidates, which the
+    // exact verifier removes anyway). This is what tames the adversarial
+    // small-vocabulary case: high-df prefixes still collide, but almost
+    // all collisions fail the positional bound before distinct().
+    val minOverlap =
+      ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - lit(1e-9))
+    val a = prefix.select(col("shingle"), col("id").as("id_a"),
+      col("rk").as("ra"), col("n_sh").as("na"))
+    val b = prefix.select(col("shingle"), col("id").as("id_b"),
+      col("rk").as("rb"), col("n_sh").as("nb"))
+    a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= minOverlap)
       .select("id_a", "id_b").distinct()
   }
 
