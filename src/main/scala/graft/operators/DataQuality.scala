@@ -65,6 +65,26 @@ object DataQuality {
     * an orphan is an orphan whether or not the key is present). Counted
     * via anti-join: only keys shuffle, and the count is the only thing
     * returned. */
+  /** In-flight observability: attach named metrics to a frame with
+    * `Dataset.observe` — the metrics accumulate DURING whatever action
+    * consumes the frame (a sink write, a count), so a pipeline stage gets
+    * its row counts / null counts / sums with ZERO extra passes over the
+    * data. This is the production shape for "how many rows did this 100 TB
+    * stage actually emit": a separate `.agg` would re-run the stage; the
+    * observation rides along. Read the metrics from the returned
+    * [[org.apache.spark.sql.Observation]] AFTER an action:
+    *
+    *   val (out, obs) = DataQuality.observed(stage, "ingest",
+    *     count(lit(1)).as("rows"), sum("v").as("total"))
+    *   out.write.parquet(dir)
+    *   val rows = obs.get("rows")
+    */
+  def observed(df: DataFrame, name: String, metrics: Column*)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
   def orphanCount(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String): DataFrame =
     fact.select(col(factKey))

@@ -49,4 +49,21 @@ class DataQualitySpec extends SparkSpec {
       .as[Long].head()
     assert(n == 2L, "the unmatched key and the null key are both orphans")
   }
+
+  test("observed metrics ride along the consuming action — no second pass") {
+    val stage = df.filter(col("v") >= 0)
+    val (out, obs) = DataQuality.observed(stage, "stage_metrics",
+      count(lit(1)).as("rows"),
+      sum(when(col("s").isNull, 1L).otherwise(0L)).as("null_s"),
+      round(sum("v"), 2).as("total_v"))
+    val dir = java.nio.file.Files.createTempDirectory("obs_out").toString
+    out.write.mode("overwrite").parquet(dir) // the ONLY action that runs
+    val m = obs.get
+    val (wantRows, wantNulls, wantTotal) = stage
+      .agg(count(lit(1)), sum(when(col("s").isNull, 1L).otherwise(0L)), round(sum("v"), 2))
+      .as[(Long, Long, Double)].head()
+    assert(m("rows") == wantRows && m("null_s") == wantNulls && m("total_v") == wantTotal)
+    // and the written output is the observed frame
+    assert(spark.read.parquet(dir).count() == wantRows)
+  }
 }
