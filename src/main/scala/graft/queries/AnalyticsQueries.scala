@@ -779,7 +779,39 @@ object AnalyticsQueries {
       .orderBy("year")
   }
 
+  /** Per-key frequency skew of one join-key column: key cardinality, max
+    * and mean frequency, their ratio, and the hottest key. */
+  private def skewOf(df: DataFrame, keyCol: String, label: String): DataFrame = {
+    val freq = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    // key-cardinality frame: the global window is dictionary-scale
+    val top = freq
+      .withColumn("rn", row_number().over(Window.orderBy(col("c").desc, col("k"))))
+      .filter(col("rn") === 1)
+      .select(col("k").as("top_key"))
+    freq.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"), max("c").as("max_freq"))
+      .crossJoin(top)
+      .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"), col("max_freq"),
+        round(col("max_freq") / (col("n_rows") / col("n_keys").cast("double")), 2)
+          .as("skew_ratio"),
+        col("top_key"))
+  }
+
+  /** Join-key skew diagnostics — the query you run BEFORE a big join to
+    * decide between plain shuffle, AQE skew split, and salting
+    * (operators.SkewJoin): per candidate key column, the cardinality,
+    * hottest-key frequency, and skew ratio (max/mean). Each column costs
+    * one map-side-combined frequency aggregate; the ranking runs on the
+    * key-cardinality frame, never the fact table. */
+  def q108SkewStats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    skewOf(li, "l_partkey", "l_partkey")
+      .union(skewOf(li, "l_suppkey", "l_suppkey"))
+      .union(skewOf(Tables.orders(s, d), "o_custkey", "o_custkey"))
+      .orderBy("key_col")
+  }
+
   val all: Map[String, Q] = Map(
+    "q108_skew_stats" -> (q108SkewStats _),
     "q106_hierarchy" -> (q106Hierarchy _),
     "q107_yoy_growth" -> (q107YoyGrowth _),
     "q104_trailing_window" -> (q104TrailingWindow _),
@@ -839,6 +871,24 @@ object AnalyticsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q108_skew_stats" -> {
+      def arm(table: String, key: String) =
+        s"""SELECT '$key' AS key_col, n_keys, n_rows, max_freq,
+           |  round(max_freq / (n_rows / CAST(n_keys AS DOUBLE)), 2) AS skew_ratio,
+           |  top_key
+           |FROM (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+           |    CAST(max(c) AS BIGINT) AS max_freq FROM
+           |    (SELECT $key AS k, count(*) AS c FROM $table GROUP BY 1)) s
+           |CROSS JOIN (SELECT k AS top_key FROM
+           |    (SELECT $key AS k, count(*) AS c FROM $table GROUP BY 1)
+           |    ORDER BY c DESC, k LIMIT 1) t""".stripMargin
+      s"""${arm("lineitem", "l_partkey")}
+         |UNION ALL
+         |${arm("lineitem", "l_suppkey")}
+         |UNION ALL
+         |${arm("orders", "o_custkey")}
+         |ORDER BY key_col""".stripMargin
+    },
     "q106_hierarchy" ->
       """WITH RECURSIVE k AS (SELECT p_partkey AS node FROM part),
         |par AS (SELECT a.node,

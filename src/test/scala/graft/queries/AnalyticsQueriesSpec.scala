@@ -503,6 +503,25 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q108 skew stats match per-column frequency recomputes") {
+    val got = AnalyticsQueries.q108SkewStats(spark, d)
+      .as[(String, Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("l_partkey", "l_suppkey", "o_custkey"))
+    Seq(("l_partkey", graft.core.Tables.lineitem(spark, d)),
+      ("l_suppkey", graft.core.Tables.lineitem(spark, d)),
+      ("o_custkey", graft.core.Tables.orders(spark, d))).foreach { case (k, df) =>
+      val freqs = df.groupBy(k).count().as[(Long, Long)].collect()
+      val (_, nKeys, nRows, maxF, skew, topKey) = got(k)
+      assert(nKeys == freqs.length && nRows == freqs.map(_._2).sum)
+      assert(maxF == freqs.map(_._2).max)
+      assert(topKey == freqs.filter(_._2 == maxF).map(_._1).min, s"$k hottest key")
+      val want = BigDecimal(maxF / (nRows / nKeys.toDouble))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(skew - want) < 1e-9 && skew >= 1.0)
+    }
+  }
+
   test("q106 hierarchy climb matches an in-memory path-to-root walk") {
     val keys = graft.core.Tables.part(spark, d)
       .select("p_partkey").as[Long].collect().toSet
