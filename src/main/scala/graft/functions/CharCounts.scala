@@ -21,20 +21,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * ordinary array fold with engine-portable arithmetic.
   */
 object CharCountsUtil {
+  /** Per-alphabet lookup tables, built once per JVM (the alphabet is a
+    * plan-time constant — rebuilding a 128-slot table per ROW would cost
+    * as much as scanning a short document). */
+  private val tables = new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+  private def table(alphabet: String): Array[Int] =
+    tables.computeIfAbsent(alphabet, a => {
+      val idx = new Array[Int](128)
+      java.util.Arrays.fill(idx, -1)
+      var i = 0
+      while (i < a.length) { idx(a.charAt(i)) = i; i += 1 }
+      idx
+    })
+
   /** Static entry point shared by interpreted eval and generated code.
     * Only ASCII alphabets are supported (the histogram index is a
-    * 128-slot table); q94's alphabet is a-z plus space. */
+    * 128-slot table); q94's alphabet is a-z plus space. Iterates the
+    * UTF8String's raw bytes — no UTF-16 decode/copy: UTF-8 continuation
+    * and multi-byte lead bytes are all >= 0x80 (negative as signed
+    * bytes), so they can never collide with an ASCII alphabet slot. */
   def counts(s: UTF8String, alphabet: String): ArrayData = {
-    val idx = new Array[Int](128)
-    java.util.Arrays.fill(idx, -1)
-    var i = 0
-    while (i < alphabet.length) { idx(alphabet.charAt(i)) = i; i += 1 }
+    val idx = table(alphabet)
     val out = new Array[Int](alphabet.length)
-    val str = s.toString
+    val n = s.numBytes
     var j = 0
-    while (j < str.length) {
-      val c = str.charAt(j)
-      if (c < 128 && idx(c) >= 0) out(idx(c)) += 1
+    while (j < n) {
+      val b = s.getByte(j)
+      if (b >= 0 && idx(b) >= 0) out(idx(b)) += 1
       j += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)

@@ -113,17 +113,21 @@ object TextFunctions {
     s"(((${terms.mkString(" + ")}) + 1) / 281474976710657.0)"
   }
 
-  /** Deterministic 48-bit integer hash of a string expression (the first
-    * 12 md5 hex digits) — the integer sibling of [[hashUniform]]. Values
-    * are < 2^48, so BIGINT sums of millions of them can't overflow: the
-    * building block for order- and partition-independent checksums. */
-  def hashInt48(v: Column): Column =
-    conv(substring(md5(v), 1, 12), 16, 10).cast("long")
+  /** Deterministic 32-bit integer hash of a string expression (the first
+    * 8 md5 hex digits) — the integer sibling of [[hashUniform]]. Values
+    * are < 2^32, so a BIGINT sum stays overflow-free up to 2^31 (~2.1
+    * billion) rows per aggregation group — the building block for order-
+    * and partition-independent checksums. (A 48-bit variant would
+    * overflow a signed 64-bit sum at only ~65k rows per group — and under
+    * ANSI mode Spark THROWS on sum overflow while DuckDB widens to
+    * HUGEINT, so the two engines would diverge exactly when it matters.) */
+  def hashInt32(v: Column): Column =
+    conv(substring(md5(v), 1, 8), 16, 10).cast("long")
 
-  /** DuckDB twin of [[hashInt48]] over a SQL string expression. */
-  def hashInt48Sql(v: String): String = {
-    val terms = (1 to 12).map { i =>
-      val mult = math.pow(16, 12 - i).toLong
+  /** DuckDB twin of [[hashInt32]] over a SQL string expression. */
+  def hashInt32Sql(v: String): String = {
+    val terms = (1 to 8).map { i =>
+      val mult = math.pow(16, 8 - i).toLong
       s"(instr('0123456789abcdef', substring(md5($v), $i, 1)) - 1) * $mult"
     }
     s"CAST(${terms.mkString(" + ")} AS BIGINT)"

@@ -65,6 +65,12 @@ object DataQuality {
     * an orphan is an orphan whether or not the key is present). Counted
     * via anti-join: only keys shuffle, and the count is the only thing
     * returned. */
+  def orphanCount(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String): DataFrame =
+    fact.select(col(factKey))
+      .join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+
   /** In-flight observability: attach named metrics to a frame with
     * `Dataset.observe` — the metrics accumulate DURING whatever action
     * consumes the frame (a sink write, a count), so a pipeline stage gets
@@ -81,13 +87,8 @@ object DataQuality {
     */
   def observed(df: DataFrame, name: String, metrics: Column*)
       : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "observed needs at least one metric column")
     val obs = org.apache.spark.sql.Observation(name)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
-
-  def orphanCount(fact: DataFrame, factKey: String,
-      dim: DataFrame, dimKey: String): DataFrame =
-    fact.select(col(factKey))
-      .join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_anti")
-      .agg(count(lit(1)).as("orphans"))
 }

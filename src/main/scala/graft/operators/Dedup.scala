@@ -319,6 +319,26 @@ object Dedup {
     * superset of the true >= threshold pairs (recall pinned in
     * DedupSpec), which is what makes the engine-specific candidate
     * generators DuckDB-oracle-verifiable end to end. */
+  def verifiedJaccard(docs: DataFrame, candidates: DataFrame,
+      threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n, 0L)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val cand = candidates.select("id_a", "id_b")
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("sa")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("sb")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_common") / (col("sa") + col("sb") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
   /** Prefix-filtering candidate generation (the SSJoin/AllPairs family:
     * Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07 "Scaling Up All
     * Pairs"): under ONE global shingle order (document frequency
@@ -341,13 +361,20 @@ object Dedup {
     * >= t pairs; verify with [[verifiedJaccard]] to make it exact. */
   def prefixCandidates(docs: DataFrame, threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // The downstream verifier ([[verifiedJaccard]] and the q34/q97
+    // oracles) qualifies pairs by round(J, 4) >= t, which admits true
+    // J down to t - 5e-5. Candidate pruning must therefore guarantee
+    // recall for the EFFECTIVE threshold t - 5e-5, not t — otherwise a
+    // pair with true J in [t - 5e-5, t) passes the verifier but could be
+    // pruned here. (The later 1e-9 only guards FP ceil, not rounding.)
+    val tEff = threshold - 5e-5
     val sh = docShingles(docs, idCol, textCol, n, 0L)
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("id")
     val prefix = sh.join(dfs, Seq("shingle"))
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
       .withColumn("n_sh", count(lit(1)).over(byDoc))
-      .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1))
+      .filter(col("rk") <= col("n_sh") - ceil(lit(tEff) * col("n_sh") - lit(1e-9)) + lit(1))
       .select("id", "shingle", "rk", "n_sh")
     // PPJoin positional filter (Xiao et al., WWW'08): when a pair first
     // meets at prefix positions (i, j), its overlap can't exceed
@@ -361,7 +388,7 @@ object Dedup {
     // small-vocabulary case: high-df prefixes still collide, but almost
     // all collisions fail the positional bound before distinct().
     val minOverlap =
-      ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - lit(1e-9))
+      ceil(lit(tEff / (1 + tEff)) * (col("na") + col("nb")) - lit(1e-9))
     val a = prefix.select(col("shingle"), col("id").as("id_a"),
       col("rk").as("ra"), col("n_sh").as("na"))
     val b = prefix.select(col("shingle"), col("id").as("id_b"),
@@ -370,25 +397,5 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= minOverlap)
       .select("id_a", "id_b").distinct()
-  }
-
-  def verifiedJaccard(docs: DataFrame, candidates: DataFrame,
-      threshold: Double, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n, 0L)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val cand = candidates.select("id_a", "id_b")
-    val common = cand
-      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("sa")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("sb")), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("n_common") / (col("sa") + col("sb") - col("n_common")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "n_common", "jaccard")
   }
 }

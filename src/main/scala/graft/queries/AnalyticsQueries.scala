@@ -353,13 +353,10 @@ object AnalyticsQueries {
     * The DuckDB twin uses the row_number formulation — same semantics,
     * independently expressed. */
   def q81LatestSnapshot(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy("user_id")
-      .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
-        .as("m"))
-      .select(col("user_id"), col("m.ts").as("last_ts"),
-        col("m.event_id").as("last_event_id"),
-        col("m.event_type").as("last_type"), col("m.value").as("last_value"))
+    // single source of truth with the streaming twin: the same combinable
+    // max(struct) aggregation, batch and streaming (EventStreamsSpec pins
+    // their equivalence)
+    graft.streaming.EventStreams.latestSnapshot(Tables.events(s, d))
       .orderBy("user_id")
 
   /** CUBE over (order priority, order year): all four grouping sets in
@@ -664,8 +661,10 @@ object AnalyticsQueries {
   /** Calendar-dimension build (the warehouse date spine): one row per
     * day in the orders date range with year/quarter/month/day, a
     * PORTABLE ISO day-of-week computed from epoch-day arithmetic
-    * ((days + 3) mod 7 + 1 — engine dow() conventions disagree, integer
-    * math doesn't), and month-start/end flags. Dates travel as ISO
+    * (pmod(days + 3, 7) + 1 — engine dow() conventions disagree, integer
+    * math doesn't; NON-NEGATIVE mod on both sides, since %'s
+    * sign-of-dividend would go wrong for pre-1970 dates), and
+    * month-start/end flags. Dates travel as ISO
     * strings (q67's lesson: DATE rendering differs across the
     * pandas/parquet bridges). The 1-row min/max aggregate broadcasts
     * into a driver-free sequence explode — no shuffle but the output
@@ -681,7 +680,7 @@ object AnalyticsQueries {
         quarter(col("day")).as("quarter"),
         month(col("day")).as("month"),
         dayofmonth(col("day")).as("day_of_month"),
-        ((datediff(col("day"), to_date(lit("1970-01-01"))) + 3) % 7 + 1)
+        (pmod(datediff(col("day"), to_date(lit("1970-01-01"))) + 3, lit(7)) + 1)
           .as("iso_dow"),
         (dayofmonth(col("day")) === 1).as("is_month_start"),
         (col("day") === last_day(col("day"))).as("is_month_end"))
@@ -714,34 +713,43 @@ object AnalyticsQueries {
 
   /** Order-independent table checksum (cross-system reconciliation, the
     * aggregate complement of q72's row-level diff): each row renders to a
-    * canonical string, hashes to a portable 48-bit integer
-    * ([[T.hashInt48]]), and the per-year SUM of those hashes is the
+    * canonical string, hashes to a portable 32-bit integer
+    * ([[T.hashInt32]]), and the per-year SUM of those hashes is the
     * checksum — sum is commutative, so the result is independent of row
-    * order, partitioning, and engine, and 2^48-bounded terms keep BIGINT
-    * sums overflow-free up to ~16k billion rows. Two tables agree on a
-    * year iff (n, checksum) match; no sort, no collect, one aggregate
-    * pass. Only integer/string columns render (float formatting is not
-    * portable across engines — the q85 lesson). */
+    * order, partitioning, and engine, and 2^32-bounded terms keep the
+    * BIGINT sum overflow-free to 2^31 rows per group (a 48-bit hash
+    * would overflow — ANSI Spark throws, DuckDB widens to HUGEINT — at
+    * only ~65k rows/group). Two tables agree on a year iff (n, checksum)
+    * match; no sort, no collect, one aggregate pass. Only integer/string
+    * columns render (float formatting is not portable across engines —
+    * the q85 lesson). */
   def q105TableChecksum(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .withColumn("rh", T.hashInt48(concat_ws("|",
+      .withColumn("rh", T.hashInt32(concat_ws("|",
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_orderpriority"))))
       .groupBy(year(col("o_orderdate")).as("year"))
       .agg(count(lit(1)).as("n_rows"), sum("rh").as("checksum"))
       .orderBy("year")
 
-  /** Max climb depth for [[q106Hierarchy]] (part keys have <= 8 digits;
-    * each climb strips one, so 8 iterations always reach the root). */
-  val HierMaxDepth = 8
+  /** Climb rounds for [[q106Hierarchy]], derived from the actual key
+    * range: each climb strips one decimal digit, so digits(max key)
+    * rounds always reach the root — at ANY scale factor (a fixed
+    * constant would silently under-climb once keys outgrow it). The
+    * 1-row bounds aggregate is the documented bounded collect. */
+  private def hierRounds(s: SparkSession, d: String): Int = {
+    val maxKey = Tables.part(s, d).agg(max("p_partkey")).head().getLong(0)
+    math.max(1, maxKey.toString.length)
+  }
 
   /** Hierarchy / path-to-root traversal (the BOM / org-chart op family —
     * distinct from CC and PageRank: per-node ROOT and DEPTH, not
     * components or centrality). A synthetic but deterministic forest over
     * `part`: a node's parent is p_partkey div 10 when that key exists in
     * the table. The climb is an iterative self-join with a FIXED bound
-    * ([[HierMaxDepth]] — one decimal digit per level), so unlike a
-    * recursive CTE the distributed plan has a static depth: at 100 TB
+    * ([[hierRounds]] — one decimal digit per level, derived from the
+    * real key range), so unlike a
+    * recursive CTE the distributed plan has a bounded depth: at 100 TB
     * each round is one hash join on the ancestor key, and rows that
     * reached their root pass through unchanged. */
   def q106Hierarchy(s: SparkSession, d: String): DataFrame = {
@@ -752,7 +760,7 @@ object AnalyticsQueries {
       .select(col("node"),
         when(col("k").isNotNull && col("cand") < col("node"), col("cand")).as("parent"))
     var cur = parents.select(col("node"), col("node").as("anc"), lit(0).as("depth"))
-    for (_ <- 1 to HierMaxDepth) {
+    for (_ <- 1 to hierRounds(s, d)) {
       cur = cur
         .join(parents.select(col("node").as("anc"), col("parent").as("up")), Seq("anc"), "left")
         .select(col("node"),
@@ -924,7 +932,7 @@ object AnalyticsQueries {
       val row = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
         "o_orderstatus || '|' || o_orderpriority"
       s"""SELECT CAST(year(o_orderdate) AS INT) AS year, count(*) AS n_rows,
-         |  CAST(sum(${T.hashInt48Sql(row)}) AS BIGINT) AS checksum
+         |  CAST(sum(${T.hashInt32Sql(row)}) AS BIGINT) AS checksum
          |FROM orders GROUP BY year ORDER BY year""".stripMargin
     },
     "q101_unpivot" -> {
@@ -960,7 +968,7 @@ object AnalyticsQueries {
         |  CAST(quarter(day) AS INT) AS quarter,
         |  CAST(month(day) AS INT) AS month,
         |  CAST(day(day) AS INT) AS day_of_month,
-        |  CAST((date_diff('day', DATE '1970-01-01', day) + 3) % 7 + 1 AS INT) AS iso_dow,
+        |  CAST(((date_diff('day', DATE '1970-01-01', day) + 3) % 7 + 7) % 7 + 1 AS INT) AS iso_dow,
         |  day(day) = 1 AS is_month_start,
         |  day = last_day(day) AS is_month_end
         |FROM s ORDER BY date_iso""".stripMargin,

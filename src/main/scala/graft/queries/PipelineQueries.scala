@@ -193,10 +193,15 @@ object PipelineQueries {
       .orderBy(col("source"), col("priority").desc, col("doc_id"))
 
   /** BM25 query terms / parameters (Robertson-Sparck Jones with the
-    * Lucene +1 idf floor; k1/b the standard defaults). */
+    * Lucene +1 idf floor; k1/b the standard defaults). The parameters are
+    * DECIMAL STRINGS, rendered verbatim into both the Spark literals and
+    * the DuckDB SQL — a host-side float computation (1.2 + 1) need not
+    * round to the same double as the literal "2.2" both engines parse. */
   val Bm25Terms: Seq[String] = Seq("spark", "merge", "window")
-  val Bm25K1 = 1.2
-  val Bm25B = 0.75
+  val Bm25K1 = "1.2"
+  val Bm25K1Plus1 = "2.2"
+  val Bm25OneMinusB = "0.25"
+  val Bm25B = "0.75"
 
   /** BM25 retrieval scoring: rank the corpus for a fixed term query.
     * Per-doc term frequencies are per-row array math (no explode); the
@@ -222,11 +227,9 @@ object PipelineQueries {
     val score = Bm25Terms.indices.map { i =>
       val tf = col(s"tf$i")
       val idf = log((col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)) + lit(1.0))
-      // literals 2.2 / 1.2 / 0.25 / 0.75 are written identically in the
-      // DuckDB twin: both engines parse the same decimal to the same
-      // double, whereas computing k1+1 host-side could round differently
-      idf * (tf * lit(2.2)) /
-        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      idf * (tf * lit(Bm25K1Plus1.toDouble)) /
+        (tf + lit(Bm25K1.toDouble) *
+          (lit(Bm25OneMinusB.toDouble) + lit(Bm25B.toDouble) * col("dl") / avgdl))
     }.reduce(_ + _)
     withTf.crossJoin(broadcast(stats))
       .select(col("doc_id") +: col("dl").as("n_tokens") +:
@@ -356,8 +359,8 @@ object PipelineQueries {
     val dfs = Bm25Terms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(", ")
     val terms = Bm25Terms.indices.map { i =>
-      s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
-        s"(tf$i + 1.2 * (0.25 + 0.75 * dl / (sdl / n)))"
+      s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * $Bm25K1Plus1) / " +
+        s"(tf$i + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * dl / (sdl / n)))"
     }.mkString(" + ")
     val outTf = Bm25Terms.zipWithIndex
       .map { case (t, i) => s"CAST(tf$i AS INTEGER) AS tf_$t" }.mkString(", ")

@@ -80,6 +80,8 @@ object VectorQueries {
   /** k-means cluster count / Lloyd iterations for [[q99Kmeans]]. */
   val KmK = 4
   val KmIters = 3
+  /** Embedding dimensionality, used by the oracle's unrolled distance
+    * expressions (the Spark side infers it from data). */
   private val KmDim = 64
 
   /** Deterministic integer k-means (the q68-PageRank discipline applied
@@ -162,7 +164,7 @@ object VectorQueries {
     * technique). All arithmetic is integer-exact on both sides, so the
     * match is bit-for-bit, not approximate. */
   private val kmeansSql: String = {
-    val dim = 64
+    val dim = KmDim
     def dist(q: String, c: String): String =
       s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
         s"i -> ($q.qv[i] - $c.cv[i]) * ($q.qv[i] - $c.cv[i]))) AS BIGINT)"

@@ -588,7 +588,7 @@ class AnalyticsQueriesSpec extends SparkSpec {
     // independence: in-memory recompute from an unordered collect
     def h48(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       java.lang.Long.parseLong(hex, 16)
     }
     val rows = graft.core.Tables.orders(spark, d)
