@@ -818,7 +818,70 @@ object AnalyticsQueries {
       .orderBy("key_col")
   }
 
+  /** Per-group 3-sigma outlier detection: group statistics (mean, sample
+    * stddev) are ROUNDED to 2 decimals before the flag comparison, so the
+    * boundary both engines test is the identical double — an unrounded
+    * aggregate mean would differ in its last ulps across partitionings
+    * and could flip rows sitting exactly at the 3σ line. The stats frame
+    * is group-cardinality (broadcast back over the scan); the fact table
+    * is read once. */
+  def q109Outliers(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+    val stats = li.groupBy("l_returnflag")
+      .agg(round(avg("l_extendedprice"), 2).as("mu"),
+        round(stddev_samp("l_extendedprice"), 2).as("sigma"))
+    li.join(broadcast(stats), Seq("l_returnflag"))
+      .withColumn("is_outlier",
+        abs(col("l_extendedprice") - col("mu")) > lit(3) * col("sigma"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        max(when(col("is_outlier"), col("l_extendedprice"))).as("max_outlier"))
+      .join(stats, Seq("l_returnflag"))
+      .select("l_returnflag", "n_rows", "n_outliers", "max_outlier", "mu", "sigma")
+      .orderBy("l_returnflag")
+  }
+
+  /** PSI buckets / Laplace smoothing for [[q110DriftPsi]]. */
+  val PsiBuckets = 10
+
+  /** Population-stability-index drift detection between the train and
+    * test splits (the ML-ops "did my data shift" check): document lengths
+    * bucket with q84's all-integer equi-width rule over the GLOBAL
+    * min/max, per-split proportions are Laplace-smoothed exact rationals
+    * (cnt+1)/(n+buckets) — no empty-bucket division, every input to the
+    * ln() deterministic — and each bucket's PSI contribution
+    * (p-q)·ln(p/q) is reported rounded. Integer bucket counts are the
+    * only corpus-scale aggregate; everything after is bucket-cardinality. */
+  def q110DriftPsi(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), T.splitLabel(col("doc_id")).as("split"))
+      .filter(col("split") =!= "val")
+    val bounds = docs.agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(lit(PsiBuckets - 1L),
+          expr(s"(n_chars - lo) * $PsiBuckets div greatest(hi - lo, 1)")).cast("int"))
+      .groupBy("bucket")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val totals = bucketed.agg(sum("n_train").as("tot_train"), sum("n_test").as("tot_test"))
+    bucketed.crossJoin(broadcast(totals))
+      .withColumn("p_train",
+        (col("n_train") + 1).cast("double") / (col("tot_train") + PsiBuckets))
+      .withColumn("p_test",
+        (col("n_test") + 1).cast("double") / (col("tot_test") + PsiBuckets))
+      .select(col("bucket"), col("n_train"), col("n_test"),
+        round(col("p_train"), 6).as("p_train"),
+        round(col("p_test"), 6).as("p_test"),
+        round((col("p_train") - col("p_test")) * log(col("p_train") / col("p_test")), 6)
+          .as("psi_contrib"))
+      .orderBy("bucket")
+  }
+
   val all: Map[String, Q] = Map(
+    "q109_outliers" -> (q109Outliers _),
+    "q110_drift_psi" -> (q110DriftPsi _),
     "q108_skew_stats" -> (q108SkewStats _),
     "q106_hierarchy" -> (q106Hierarchy _),
     "q107_yoy_growth" -> (q107YoyGrowth _),
@@ -879,6 +942,44 @@ object AnalyticsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q109_outliers" ->
+      """WITH st AS (SELECT l_returnflag,
+        |  round(avg(l_extendedprice), 2) AS mu,
+        |  round(stddev_samp(l_extendedprice), 2) AS sigma
+        |  FROM lineitem GROUP BY l_returnflag),
+        |f AS (SELECT li.l_returnflag, li.l_extendedprice, st.mu, st.sigma,
+        |  abs(li.l_extendedprice - st.mu) > 3 * st.sigma AS is_outlier
+        |  FROM lineitem li JOIN st USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(CASE WHEN is_outlier THEN l_extendedprice END) AS max_outlier,
+        |  any_value(mu) AS mu, any_value(sigma) AS sigma
+        |FROM f GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q110_drift_psi" -> {
+      val b = PsiBuckets
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |  CASE WHEN ${T.hashBucketSql("doc_id", 100)} < 80 THEN 'train'
+         |       WHEN ${T.hashBucketSql("doc_id", 100)} < 90 THEN 'val'
+         |       ELSE 'test' END AS split FROM documents),
+         |dd AS (SELECT * FROM d WHERE split <> 'val'),
+         |bo AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM dd),
+         |bk AS (SELECT least(${b - 1}, (n_chars - lo) * $b // greatest(hi - lo, 1)) AS bucket,
+         |  split FROM dd CROSS JOIN bo),
+         |c AS (SELECT CAST(bucket AS INT) AS bucket,
+         |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |  FROM bk GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_train) AS BIGINT) AS tot_train,
+         |  CAST(sum(n_test) AS BIGINT) AS tot_test FROM c)
+         |SELECT bucket, n_train, n_test,
+         |  round((n_train + 1) / CAST(tot_train + $b AS DOUBLE), 6) AS p_train,
+         |  round((n_test + 1) / CAST(tot_test + $b AS DOUBLE), 6) AS p_test,
+         |  round(((n_train + 1) / CAST(tot_train + $b AS DOUBLE)
+         |       - (n_test + 1) / CAST(tot_test + $b AS DOUBLE))
+         |    * ln((n_train + 1) / CAST(tot_train + $b AS DOUBLE)
+         |       / ((n_test + 1) / CAST(tot_test + $b AS DOUBLE))), 6) AS psi_contrib
+         |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin
+    },
     "q108_skew_stats" -> {
       def arm(table: String, key: String) =
         s"""SELECT '$key' AS key_col, n_keys, n_rows, max_freq,

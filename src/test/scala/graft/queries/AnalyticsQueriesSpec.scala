@@ -503,6 +503,49 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q109 outlier counts match an in-memory recompute with rounded stats") {
+    val vals = graft.core.Tables.lineitem(spark, d)
+      .select("l_returnflag", "l_extendedprice").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val got = AnalyticsQueries.q109Outliers(spark, d)
+      .as[(String, Long, Long, Option[Double], Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (flag, nRows, nOut, maxOut, mu, sigma) =>
+      val xs = vals(flag)
+      assert(nRows == xs.length)
+      val outliers = xs.filter(x => math.abs(x - mu) > 3 * sigma)
+      assert(nOut == outliers.length, s"flag $flag")
+      assert(maxOut == (if (outliers.isEmpty) None else Some(outliers.max)))
+      // stats sanity: mu within the value range, sigma positive
+      assert(mu > xs.min && mu < xs.max && sigma > 0)
+    }
+  }
+
+  test("q110 PSI contributions sum near zero for an unbiased hash split") {
+    val got = AnalyticsQueries.q110DriftPsi(spark, d)
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == AnalyticsQueries.PsiBuckets)
+    // proportions are valid distributions (up to smoothing + rounding)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-3)
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-3)
+    // every contribution is non-negative ((p-q) and ln(p/q) share sign)
+    got.foreach { case (b, _, _, _, _, c) => assert(c >= 0.0, s"bucket $b") }
+    // the md5 split is unbiased, but PSI has a known small-sample bias:
+    // under no drift E[PSI] ~ (B-1)(1/n_train + 1/n_test) (chi-square
+    // approximation) — at sf0.001 the test split is ~56 docs, so the
+    // industry 0.1 band only applies to large samples. Assert against 3x
+    // the expectation instead.
+    val (nTr, nTe) = (got.map(_._2).sum.toDouble, got.map(_._3).sum.toDouble)
+    val expected = (AnalyticsQueries.PsiBuckets - 1) * (1.0 / nTr + 1.0 / nTe)
+    val psi = got.map(_._6).sum
+    assert(psi < 3 * expected,
+      s"hash split should not drift: psi=$psi vs no-drift expectation $expected")
+    // counts conserve: every non-val doc lands in exactly one bucket
+    val nonVal = graft.core.Tables.documents(spark, d)
+      .filter(graft.functions.TextFunctions.splitLabel(col("doc_id")) =!= "val").count()
+    assert(got.map(r => r._2 + r._3).sum == nonVal)
+  }
+
   test("q108 skew stats match per-column frequency recomputes") {
     val got = AnalyticsQueries.q108SkewStats(spark, d)
       .as[(String, Long, Long, Long, Double, Long)].collect()
