@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck laws for the pure JVM cores of the custom Catalyst
+  * expressions — thousands of random inputs (including non-ASCII and
+  * surrogate-bearing strings) against independent reference
+  * implementations. These run without a SparkSession: the codegen'd
+  * expressions call exactly these static entry points, so a law here is
+  * a law of the Expression. */
+object FunctionLaws extends Properties("graft.functions") {
+
+  private val alphabet = ('a' to 'z').mkString + " "
+
+  /** Strings mixing ASCII, accented Latin, and astral-plane codepoints —
+    * the inputs that break byte-vs-char confusions. */
+  private val anyText: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.const(' '), Gen.oneOf('é', 'ø', 'ł', 'ß', 'Š'),
+    Gen.oneOf('中', 'я', '\ud83d'), Gen.asciiPrintableChar
+  )).map(_.mkString)
+
+  property("charCounts equals naive per-char counting") = forAll(anyText) { s =>
+    val got = CharCountsUtil.counts(UTF8String.fromString(s), alphabet)
+    val want = alphabet.map(c => s.count(_ == c))
+    Prop.all(alphabet.indices.map(i =>
+      Prop(got.getInt(i) == want(i)) :| s"char '${alphabet(i)}' in <$s>"): _*)
+  }
+
+  property("charCounts total is bounded by the string's char count") = forAll(anyText) { s =>
+    val got = CharCountsUtil.counts(UTF8String.fromString(s), alphabet)
+    val tot = alphabet.indices.map(got.getInt).sum
+    tot >= 0 && tot <= s.length
+  }
+
+  property("transliterate output is pure ASCII") = forAll(anyText) { s =>
+    Translit.ascii(UTF8String.fromString(s)).toString.forall(_ < 128) ||
+      // characters with no NFD decomposition and no explicit mapping pass
+      // through (e.g. CJK) — the law is: every LATIN input maps to ASCII
+      s.exists(c => Character.UnicodeBlock.of(c) != Character.UnicodeBlock.BASIC_LATIN &&
+        Character.UnicodeBlock.of(c) != Character.UnicodeBlock.LATIN_1_SUPPLEMENT &&
+        Character.UnicodeBlock.of(c) != Character.UnicodeBlock.LATIN_EXTENDED_A)
+  }
+
+  property("transliterate is idempotent") = forAll(anyText) { s =>
+    val once = Translit.ascii(UTF8String.fromString(s))
+    Translit.ascii(once) == once
+  }
+
+  private val latinName: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaChar, Gen.oneOf('é', 'è', 'ü', 'ö', 'á', 'ñ', 'ç', 'Š', 'ř', 'ž'))
+  ).map(_.mkString)
+
+  property("transliterate maps accented Latin names to ASCII") = forAll(latinName) { s =>
+    Translit.ascii(UTF8String.fromString(s)).toString.forall(_ < 128)
+  }
+}
