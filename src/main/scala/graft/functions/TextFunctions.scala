@@ -140,6 +140,13 @@ object TextFunctions {
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 
+  /** DuckDB twin of [[splitLabel]] — kept HERE (like [[hashBucketSql]])
+    * so the two can never drift. Emits a scalar CASE; callers should
+    * alias [[hashBucketSql]] once per row rather than inlining this where
+    * the md5 chain would evaluate repeatedly. */
+  def splitLabelSql(bucketExpr: String): String =
+    s"CASE WHEN $bucketExpr < 80 THEN 'train' WHEN $bucketExpr < 90 THEN 'val' ELSE 'test' END"
+
   /** PII patterns (naive but production-shaped: email, NANP-style phone,
     * dotted-quad IP). Kept to syntax both Java regex and RE2 (DuckDB)
     * interpret identically — no lookarounds, no \\p classes — so the SQL

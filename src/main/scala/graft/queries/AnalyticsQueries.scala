@@ -399,6 +399,17 @@ object AnalyticsQueries {
   /** Bucket count for [[q84Histogram]]. */
   val HistBuckets = 10
 
+  /** The all-integer equi-width bucket rule shared by q84 and q110,
+    * with its DuckDB twin defined HERE (the hashBucketSql convention) so
+    * engine and oracle can never drift. Expects `lo`/`hi` bound columns
+    * in scope; `*buckets div range` stays in integers, so no FP boundary
+    * can move a row between engines. */
+  def equiWidthBucket(v: String, buckets: Int): Column =
+    least(lit(buckets - 1L), expr(s"($v - lo) * $buckets div greatest(hi - lo, 1)"))
+      .cast("int")
+  def equiWidthBucketSql(v: String, buckets: Int): String =
+    s"least(${buckets - 1}, ($v - lo) * $buckets // greatest(hi - lo, 1))"
+
   /** Equi-width histogram of document lengths: [[HistBuckets]] buckets
     * between the global min/max, bucket id computed with INTEGER
     * arithmetic only (`*10 div range`, clamped) so no FP boundary can
@@ -410,8 +421,7 @@ object AnalyticsQueries {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
     val bounds = docs.agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
     docs.crossJoin(broadcast(bounds))
-      .withColumn("bucket",
-        least(lit(9L), expr("(n_chars - lo) * 10 div greatest(hi - lo, 1)")).cast("int"))
+      .withColumn("bucket", equiWidthBucket("n_chars", HistBuckets))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
@@ -819,12 +829,16 @@ object AnalyticsQueries {
   }
 
   /** Per-group 3-sigma outlier detection: group statistics (mean, sample
-    * stddev) are ROUNDED to 2 decimals before the flag comparison, so the
-    * boundary both engines test is the identical double — an unrounded
-    * aggregate mean would differ in its last ulps across partitionings
-    * and could flip rows sitting exactly at the 3σ line. The stats frame
-    * is group-cardinality (broadcast back over the scan); the fact table
-    * is read once. */
+    * stddev) are ROUNDED to 2 decimals before the flag comparison —
+    * unrounded aggregates differ in their last ulps across partitionings
+    * and engines, which would flip rows sitting exactly at the 3σ line;
+    * rounding makes a flip possible only when the true aggregate lies
+    * within an ulp of a .005 boundary (the repo-wide round-before-compare
+    * convention: probabilistic, unlike the genuinely exact integer paths).
+    * The stats frame is group-cardinality and broadcasts back over ONE
+    * fact scan; mu/sigma are constant within each group, so they ride
+    * through the final aggregate as max() instead of re-joining (which
+    * would cost a second scan of the fact table). */
   def q109Outliers(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
     val stats = li.groupBy("l_returnflag")
@@ -836,9 +850,8 @@ object AnalyticsQueries {
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
-        max(when(col("is_outlier"), col("l_extendedprice"))).as("max_outlier"))
-      .join(stats, Seq("l_returnflag"))
-      .select("l_returnflag", "n_rows", "n_outliers", "max_outlier", "mu", "sigma")
+        max(when(col("is_outlier"), col("l_extendedprice"))).as("max_outlier"),
+        max("mu").as("mu"), max("sigma").as("sigma"))
       .orderBy("l_returnflag")
   }
 
@@ -858,13 +871,19 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("n_chars"), T.splitLabel(col("doc_id")).as("split"))
       .filter(col("split") =!= "val")
     val bounds = docs.agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
-    val bucketed = docs.crossJoin(broadcast(bounds))
-      .withColumn("bucket",
-        least(lit(PsiBuckets - 1L),
-          expr(s"(n_chars - lo) * $PsiBuckets div greatest(hi - lo, 1)")).cast("int"))
+    val counts = docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket", equiWidthBucket("n_chars", PsiBuckets))
       .groupBy("bucket")
       .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
         sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    // dense 0..B-1 spine: a bucket empty in BOTH splits still contributes
+    // its smoothed (p-q)ln(p/q) mass — PSI is defined over fixed buckets,
+    // and observed-only rows would make the proportions sum below 1
+    val spine = s.range(0, PsiBuckets).select(col("id").cast("int").as("bucket"))
+    val bucketed = spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"))
     val totals = bucketed.agg(sum("n_train").as("tot_train"), sum("n_test").as("tot_test"))
     bucketed.crossJoin(broadcast(totals))
       .withColumn("p_train",
@@ -957,18 +976,20 @@ object AnalyticsQueries {
         |FROM f GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q110_drift_psi" -> {
       val b = PsiBuckets
-      s"""WITH d AS (SELECT doc_id, n_chars,
-         |  CASE WHEN ${T.hashBucketSql("doc_id", 100)} < 80 THEN 'train'
-         |       WHEN ${T.hashBucketSql("doc_id", 100)} < 90 THEN 'val'
-         |       ELSE 'test' END AS split FROM documents),
+      s"""WITH hb AS (SELECT doc_id, n_chars,
+         |  ${T.hashBucketSql("doc_id", 100)} AS hbk FROM documents),
+         |d AS (SELECT doc_id, n_chars, ${T.splitLabelSql("hbk")} AS split FROM hb),
          |dd AS (SELECT * FROM d WHERE split <> 'val'),
          |bo AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM dd),
-         |bk AS (SELECT least(${b - 1}, (n_chars - lo) * $b // greatest(hi - lo, 1)) AS bucket,
+         |bk AS (SELECT ${equiWidthBucketSql("n_chars", b)} AS bucket,
          |  split FROM dd CROSS JOIN bo),
-         |c AS (SELECT CAST(bucket AS INT) AS bucket,
+         |c0 AS (SELECT CAST(bucket AS INT) AS bucket,
          |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
          |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
          |  FROM bk GROUP BY 1),
+         |sp AS (SELECT CAST(unnest(range(0, $b)) AS INT) AS bucket),
+         |c AS (SELECT sp.bucket, coalesce(n_train, 0) AS n_train,
+         |  coalesce(n_test, 0) AS n_test FROM sp LEFT JOIN c0 ON sp.bucket = c0.bucket),
          |t AS (SELECT CAST(sum(n_train) AS BIGINT) AS tot_train,
          |  CAST(sum(n_test) AS BIGINT) AS tot_test FROM c)
          |SELECT bucket, n_train, n_test,
@@ -1175,13 +1196,13 @@ object AnalyticsQueries {
         |max(gap_us) / 1000000.0 AS max_gap_s
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q84_histogram" ->
-      """WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
-        |d AS (SELECT doc_id, n_chars,
-        |  CAST(least(9, (n_chars - lo) * 10 // greatest(hi - lo, 1)) AS INT) AS bucket
-        |  FROM documents CROSS JOIN b)
-        |SELECT bucket, count(*) AS n_docs,
-        |min(n_chars) AS min_chars, max(n_chars) AS max_chars
-        |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
+      s"""WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+         |d AS (SELECT doc_id, n_chars,
+         |  CAST(${equiWidthBucketSql("n_chars", HistBuckets)} AS INT) AS bucket
+         |  FROM documents CROSS JOIN b)
+         |SELECT bucket, count(*) AS n_docs,
+         |min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q76_dispersion" ->
       """SELECT l_returnflag,
         |round(stddev_samp(l_quantity),4) AS sd_qty,

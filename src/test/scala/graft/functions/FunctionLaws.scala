@@ -34,13 +34,19 @@ object FunctionLaws extends Properties("graft.functions") {
     tot >= 0 && tot <= s.length
   }
 
-  property("transliterate output is pure ASCII") = forAll(anyText) { s =>
-    Translit.ascii(UTF8String.fromString(s)).toString.forall(_ < 128) ||
-      // characters with no NFD decomposition and no explicit mapping pass
-      // through (e.g. CJK) — the law is: every LATIN input maps to ASCII
-      s.exists(c => Character.UnicodeBlock.of(c) != Character.UnicodeBlock.BASIC_LATIN &&
-        Character.UnicodeBlock.of(c) != Character.UnicodeBlock.LATIN_1_SUPPLEMENT &&
-        Character.UnicodeBlock.of(c) != Character.UnicodeBlock.LATIN_EXTENDED_A)
+  private def isLatin(c: Char): Boolean = {
+    val b = Character.UnicodeBlock.of(c)
+    b == Character.UnicodeBlock.BASIC_LATIN ||
+      b == Character.UnicodeBlock.LATIN_1_SUPPLEMENT ||
+      b == Character.UnicodeBlock.LATIN_EXTENDED_A
+  }
+
+  property("transliterate sends every Latin projection to pure ASCII") = forAll(anyText) { s =>
+    // project the sample onto its Latin characters so the law BINDS on
+    // every sample (a mixed string would otherwise satisfy it vacuously
+    // via its CJK chars passing through)
+    val latin = s.filter(isLatin)
+    Translit.ascii(UTF8String.fromString(latin)).toString.forall(_ < 128)
   }
 
   property("transliterate is idempotent") = forAll(anyText) { s =>
