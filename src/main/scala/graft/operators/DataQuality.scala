@@ -21,14 +21,28 @@ object DataQuality {
 
   /** Long-format profile of `cols`: per column the row count, null count,
     * exact distinct count (nulls excluded), and min/max rendered as
-    * strings (one output schema across input types). Single aggregation
-    * pass; `count_distinct` columns share the one shuffle via Spark's
-    * Expand-based multi-distinct planning. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * strings (one output schema across input types). One SCAN of the
+    * table — but note Spark plans the k exact `count_distinct`s via an
+    * Expand node, which multiplies the shuffled row volume by ~|cols|
+    * (each input row fans out once per distinct aggregate). For wide
+    * profiles over very large tables use [[profileApprox]], whose HLL
+    * sketches aggregate map-side with no Expand. (ADVICE r3) */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => count_distinct(col(c)))
+
+  /** [[profile]] with `approx_count_distinct` (HLL++, default rsd 5%):
+    * the documented large-scale variant — sketches combine map-side, so
+    * shuffle volume is |cols| fixed-size sketches per map task instead of
+    * Expand-multiplied rows. */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c)))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+      distinctAgg: String => Column): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd"),
+        distinctAgg(c).as(s"${c}__nd"),
         min(col(c)).cast("string").as(s"${c}__mn"),
         max(col(c)).cast("string").as(s"${c}__mx"))
     }

@@ -732,12 +732,16 @@ object AnalyticsQueries {
     * only ~65k rows/group). Two tables agree on a year iff (n, checksum)
     * match; no sort, no collect, one aggregate pass. Only integer/string
     * columns render (float formatting is not portable across engines —
-    * the q85 lesson). */
+    * the q85 lesson). Every column is coalesced to a sentinel BEFORE
+    * concatenation: Spark's concat_ws silently skips NULL args while a
+    * SQL '||' chain nulls the whole row, so without the coalesce the two
+    * engines diverge on any NULL — and two rows differing only in which
+    * column is NULL would collide to one canonical string (ADVICE r3). */
   def q105TableChecksum(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .withColumn("rh", T.hashInt32(concat_ws("|",
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_orderpriority"))))
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+          .map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)))
       .groupBy(year(col("o_orderdate")).as("year"))
       .agg(count(lit(1)).as("n_rows"), sum("rh").as("checksum"))
       .orderBy("year")
@@ -748,8 +752,15 @@ object AnalyticsQueries {
     * constant would silently under-climb once keys outgrow it). The
     * 1-row bounds aggregate is the documented bounded collect. */
   private def hierRounds(s: SparkSession, d: String): Int = {
-    val maxKey = Tables.part(s, d).agg(max("p_partkey")).head().getLong(0)
-    math.max(1, maxKey.toString.length)
+    // max() over an empty table is NULL — surface that as a clear error
+    // rather than an NPE; non-positive keys would break the digit-count
+    // climb bound (parent = key div 10 assumes positive keys). (ADVICE r3)
+    val maxKey = Option(Tables.part(s, d).agg(max("p_partkey")).head()
+      .getAs[java.lang.Long](0))
+    require(maxKey.isDefined, s"q106_hierarchy: part table at $d is empty")
+    require(maxKey.get > 0L,
+      s"q106_hierarchy: non-positive max p_partkey ${maxKey.get}")
+    maxKey.get.toString.length
   }
 
   /** Hierarchy / path-to-root traversal (the BOM / org-chart op family —
@@ -1051,8 +1062,11 @@ object AnalyticsQueries {
          |  RANGE BETWEEN $TrailingSecs PRECEDING AND CURRENT ROW)
          |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q105_table_checksum" -> {
-      val row = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
-        "o_orderstatus || '|' || o_orderpriority"
+      // coalesce each column to the same sentinel as the engine side:
+      // '||' nulls the whole chain while concat_ws skips NULLs (ADVICE r3)
+      val row = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(c => s"coalesce(CAST($c AS VARCHAR), '<NULL>')")
+        .mkString(" || '|' || ")
       s"""SELECT CAST(year(o_orderdate) AS INT) AS year, count(*) AS n_rows,
          |  CAST(sum(${T.hashInt32Sql(row)}) AS BIGINT) AS checksum
          |FROM orders GROUP BY year ORDER BY year""".stripMargin

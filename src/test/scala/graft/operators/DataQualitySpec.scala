@@ -30,6 +30,24 @@ class DataQualitySpec extends SparkSpec {
     assert(got("s") == (("s", 0L, 0L, 0L, None, None)))
   }
 
+  test("profileApprox matches exact profile except n_distinct stays within rsd") {
+    val wide = (1L to 2000L).map(i => (i, s"s${i % 37}", i.toDouble % 11))
+      .toDF("id", "s", "v")
+    val exact = DataQuality.profile(wide, Seq("id", "s", "v"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    val approx = DataQuality.profileApprox(wide, Seq("id", "s", "v"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    for (c <- Seq("id", "s", "v")) {
+      val (e, a) = (exact(c), approx(c))
+      assert(a._2 == e._2 && a._3 == e._3 && a._5 == e._5 && a._6 == e._6,
+        s"$c: counts and extrema are exact in both variants")
+      val err = math.abs(a._4 - e._4).toDouble / math.max(e._4, 1L)
+      assert(err <= 0.15, s"$c: approx distinct ${a._4} vs exact ${e._4}")
+    }
+  }
+
   test("checks evaluate violation counts and pass/fail in one pass") {
     import DataQuality.Check
     val got = DataQuality.checks(df, Seq(
