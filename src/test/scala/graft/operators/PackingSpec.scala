@@ -53,6 +53,52 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("capped packing splits a monster group across >1 sub-group, stays deterministic") {
+    // one group of 400 rows; maxGroupRows=100 -> 4 sub-groups
+    val rows = (1L to 400L).map(i => ("mono", i, 1L + i % 7))
+    val a = Packing.packGreedyCapped(rows.toDF("g", "id", "sz").repartition(1),
+        "g", "id", "sz", 20L, 100L)
+      .orderBy("id").as[(String, Long, Long, Long)].collect().toSeq
+    val b = Packing.packGreedyCapped(rows.toDF("g", "id", "sz").repartition(16, col("id")),
+        "g", "id", "sz", 20L, 100L)
+      .orderBy("id").as[(String, Long, Long, Long)].collect().toSeq
+    assert(a == b, "shard ids independent of physical input partitioning")
+    // parallelism: the packing stage keys on (g, sub); with 4 sub-groups
+    // the monster group engages up to 4 tasks instead of 1
+    val shards = a.map(_._4)
+    val byShard = a.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+    byShard.foreach { case (s, fill) =>
+      assert(fill <= 20L, s"shard $s overfilled: $fill")
+    }
+    // dense 0-based shard range per group
+    assert(shards.min == 0L && shards.distinct.sorted == (0L to shards.max).toSeq)
+    // bounded deviation (next-fit bound per sub-group, sizes < capacity):
+    // shard count < 2*sum(size)/capacity + nSubs
+    val total = rows.map(_._3).sum.toDouble
+    assert(shards.max + 1 < 2 * total / 20L + 4,
+      s"shards ${shards.max + 1} vs next-fit bound ${2 * total / 20L + 4}")
+    // and it stays in the same ballpark as exact greedy on this data
+    val exactShards = Packing.packGreedy(rows.toDF("g", "id", "sz"), "g", "id", "sz", 20L)
+      .agg(max("shard")).as[Long].head() + 1
+    assert(shards.max + 1 <= exactShards + 2 * 4,
+      s"capped ${shards.max + 1} vs exact greedy $exactShards")
+    // and the sub-group split is real: >1 distinct xxhash64-mod-4 bucket
+    val nSubBuckets = rows.map(r => Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        r._2, org.apache.spark.sql.types.LongType, 42L), 4L)).distinct.size
+    assert(nSubBuckets > 1, "salting actually splits the group")
+  }
+
+  test("capped packing with a large cap matches exact greedy for small groups") {
+    val rows = (1L to 120L).map(i => (s"g${i % 5}", i, 1L + i % 13))
+    val exact = Packing.packGreedy(rows.toDF("g", "id", "sz"), "g", "id", "sz", 40L)
+      .orderBy("g", "id").as[(String, Long, Long, Long)].collect().toSeq
+    val capped = Packing.packGreedyCapped(rows.toDF("g", "id", "sz"), "g", "id", "sz", 40L,
+        maxGroupRows = 1000L)
+      .orderBy("g", "id").as[(String, Long, Long, Long)].collect().toSeq
+    assert(capped == exact, "<=maxGroupRows groups take the single-scan path result")
+  }
+
   test("shard assignment is independent of input partitioning") {
     val rows = (1L to 200L).map(i => (s"g${i % 7}", i, 1L + i % 13))
     val a = Packing.packGreedy(rows.toDF("g", "id", "sz").repartition(1), "g", "id", "sz", 40L)
