@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   *
   *  - payloads never pass through a shuffle — transforms are narrow
   *    (mapPartitions) over the batch iterator;
-  *  - work is batched per partition (`batchSize`) so a real decoder
-  *    (image/audio codec) amortizes model/codec setup per batch, the same
-  *    shape a vectorized/Arrow-batch UDF would have;
-  *  - ONLY the byte-level decode is stubbed (`StubCodec` — this container
-  *    has no image/audio libraries); schema, partitioning, batch iteration
-  *    and row fan-out (frame sampling) are real.
+  *  - work is batched per partition (`batchSize`) so a decoder amortizes
+  *    setup per batch, the same shape a vectorized/Arrow-batch UDF has;
+  *  - image and audio decode are REAL ([[graft.functions.MediaCodecs]] —
+  *    JDK `javax.imageio` pixel decode and `javax.sound` PCM decode, zero
+  *    added dependencies), falling back to the deterministic
+  *    [[StubCodec]] byte-moments for payloads no codec parses; ONLY
+  *    video decode is stubbed (the JDK ships no video codec).
   */
 object Multimodal {
 
@@ -37,18 +38,19 @@ object Multimodal {
       checksum: Long, feature: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, frame_ms: Int, bytes: Array[Byte])
 
-  /** STUB decoder: a real implementation would call an image/audio codec
-    * here. The fake is deterministic in the payload bytes so tests and
-    * oracle-style checks are stable. */
+  /** Fallback/video decoder: deterministic byte-stream moments for
+    * payloads no real codec parses (and for video, where the JDK ships
+    * no codec — the one remaining genuine stub). Deterministic in the
+    * payload bytes so tests and oracle-style checks are stable. */
   object StubCodec {
-    /** ??? real codec — deterministic fake: 4 moments of the byte stream. */
+    /** Deterministic fake: 4 moments of the byte stream. */
     def decodeFeatures(bytes: Array[Byte]): Array[Float] = {
       var sum = 0L; var min = 255; var max = 0
       bytes.foreach { b => val v = b & 0xff; sum += v; min = math.min(min, v); max = math.max(max, v) }
       val n = math.max(bytes.length, 1)
       Array(n.toFloat, sum.toFloat / n, min.toFloat, max.toFloat)
     }
-    /** ??? real resize — fake: deterministic subsample to `targetBytes`. */
+    /** Fallback resize: deterministic subsample to `targetBytes`. */
     def resize(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
       if (bytes.length <= targetBytes) bytes
       else Array.tabulate(targetBytes)(i => bytes(i * bytes.length / targetBytes))
@@ -64,24 +66,43 @@ object Multimodal {
       f: Seq[T] => Seq[U]): Dataset[U] =
     ds.mapPartitions(it => it.grouped(batchSize).flatMap(f))(implicitly)
 
-  /** Decode + feature-extract every payload (batched). */
+  /** Decode + feature-extract every payload (batched). Image payloads
+    * decode to real per-channel pixel stats (11 floats —
+    * [[graft.functions.MediaCodecs.imageFeatures]]) and audio payloads
+    * to real PCM sample stats (7 floats —
+    * [[graft.functions.MediaCodecs.audioFeatures]]); video and any
+    * payload no codec parses fall back to the 4-float [[StubCodec]]
+    * byte moments. The feature-vector LENGTH therefore tells which
+    * path ran — asserted in MultimodalSpec. */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     mapBatches(media, batchSize) { batch =>
-      // a real codec would init once per batch here
       batch.map { m =>
+        val feature = m.kind match {
+          case "image" => graft.functions.MediaCodecs.imageFeatures(m.bytes)
+            .getOrElse(StubCodec.decodeFeatures(m.bytes))
+          case "audio" => graft.functions.MediaCodecs.audioFeatures(m.bytes)
+            .getOrElse(StubCodec.decodeFeatures(m.bytes))
+          case _ => StubCodec.decodeFeatures(m.bytes)
+        }
         MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong,
-          StubCodec.checksum(m.bytes), StubCodec.decodeFeatures(m.bytes))
+          StubCodec.checksum(m.bytes), feature)
       }
     }
   }
 
-  /** Resize image payloads to a byte budget (non-images pass through). */
+  /** Resize image payloads to a byte budget (non-images pass through).
+    * Decodable images get a REAL pixel resize (Graphics2D redraw + PNG
+    * re-encode, budget = decoded w*h*3 —
+    * [[graft.functions.MediaCodecs.resizeImage]]); payloads ImageIO
+    * cannot parse fall back to the deterministic byte subsample. */
   def resizeImages(media: Dataset[MediaRow], targetBytes: Int,
       batchSize: Int = 64): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     mapBatches(media, batchSize)(_.map { m =>
-      if (m.kind == "image") m.copy(bytes = StubCodec.resize(m.bytes, targetBytes))
+      if (m.kind == "image")
+        m.copy(bytes = graft.functions.MediaCodecs.resizeImage(m.bytes, targetBytes)
+          .getOrElse(StubCodec.resize(m.bytes, targetBytes)))
       else m
     })
   }

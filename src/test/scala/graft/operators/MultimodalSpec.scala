@@ -133,6 +133,75 @@ class MultimodalSpec extends SparkSpec {
     assert(got(22L) == MediaMeta(Some(3), Some(3), None, None))     // non-audio: untouched
   }
 
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"missing test resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("REAL pixel decode: committed PNG fixture yields exact per-channel stats") {
+    val png = resource("/graft/fixture_4x2.png")
+    val f = graft.functions.MediaCodecs.imageFeatures(png).get
+    // pixels: (255,0,0)(0,255,0)(0,0,255)(255,255,255) / (0,0,0)(128,128,128)(64,32,16)(200,100,50)
+    assert(f.length == 11)
+    assert(f(0) == 4f && f(1) == 2f, "dimensions")
+    assert(f(2) == 112.75f && f(3) == 96.25f && f(4) == 88f, "channel means")
+    assert(f(5) == 0f && f(6) == 0f && f(7) == 0f, "channel mins")
+    assert(f(8) == 255f && f(9) == 255f && f(10) == 255f, "channel maxs")
+    // garbage in, None out — never an exception
+    assert(graft.functions.MediaCodecs.imageFeatures("not a png".getBytes).isEmpty)
+  }
+
+  test("REAL PCM decode: committed WAV fixture yields exact sample stats") {
+    val wav = resource("/graft/fixture_tone.wav")
+    val f = graft.functions.MediaCodecs.audioFeatures(wav).get
+    // samples: 0, ±1000..±7000, 8000 at 8 kHz mono PCM16
+    assert(f.length == 7)
+    assert(f(0) == 16f, "n samples")
+    assert(f(1) == 8000f && f(2) == 1f, "rate/channels")
+    assert(f(3) == 500f, "mean")
+    assert(f(4) == -7000f && f(5) == 8000f, "min/max")
+    assert(f(6) == 4000f, "mean abs")
+    assert(graft.functions.MediaCodecs.audioFeatures("not audio".getBytes).isEmpty)
+  }
+
+  test("extractFeatures routes real payloads through the real codecs") {
+    val rows = Seq(
+      MediaRow(30L, "image", resource("/graft/fixture_4x2.png"), MediaMeta(None, None, None, None)),
+      MediaRow(31L, "audio", resource("/graft/fixture_tone.wav"), MediaMeta(None, None, None, None)),
+      MediaRow(32L, "image", "junk".getBytes, MediaMeta(None, None, None, None)),
+      MediaRow(33L, "video", "junk".getBytes, MediaMeta(None, None, None, Some(10))),
+    ).toDS()
+    val got = extractFeatures(rows).collect().map(m => m.media_id -> m.feature).toMap
+    assert(got(30L).length == 11 && got(30L)(2) == 112.75f, "real pixel path")
+    assert(got(31L).length == 7 && got(31L)(3) == 500f, "real PCM path")
+    assert(got(32L).length == 4, "unparseable image falls back to stub moments")
+    assert(got(33L).length == 4, "video stays stubbed")
+  }
+
+  test("REAL image resize scales pixels under the decoded-byte budget") {
+    // synthesize a 100x50 gradient PNG in-memory
+    val img = new java.awt.image.BufferedImage(100, 50,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 50; x <- 0 until 100)
+      img.setRGB(x, y, ((x * 255 / 99) << 16) | ((y * 255 / 49) << 8) | 128)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val big = buf.toByteArray
+
+    val rows = Seq(MediaRow(40L, "image", big, MediaMeta(None, None, None, None))).toDS()
+    val out = resizeImages(rows, targetBytes = 1200).collect().head.bytes
+    val dims = graft.functions.ImageHeaders.dimensions(out).get
+    // sqrt(1200 / (100*50*3)) = 0.283 -> 28x14
+    assert(dims.format == "png" && dims.width == 28 && dims.height == 14)
+    assert(dims.width.toLong * dims.height * 3 <= 1200, "decoded size inside budget")
+    // already-small images pass through untouched
+    val small = resource("/graft/fixture_4x2.png")
+    val keep = resizeImages(Seq(MediaRow(41L, "image", small,
+      MediaMeta(None, None, None, None))).toDS(), targetBytes = 1200).collect().head.bytes
+    assert(keep.sameElements(small))
+  }
+
   test("documents-derived media table has the declared schema") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val m = mediaFromDocuments(spark, docs)
