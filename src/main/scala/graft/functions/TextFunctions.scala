@@ -95,6 +95,24 @@ object TextFunctions {
     s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)}) % $buckets"
   }
 
+  /** The raw 16-bit value behind [[hashBucket]] (0..65535), exposed for
+    * modulus-by-COLUMN uses (e.g. salting into a per-group sub-group
+    * count) where the bucket count isn't a literal. Same portability
+    * contract: pure md5 arithmetic, identical in every engine. */
+  def hash16(id: Column): Column = {
+    val hex = md5(id.cast("string"))
+    def hv(i: Int): Column =
+      call_function("instr", lit("0123456789abcdef"), substring(hex, i, 1)) - lit(1)
+    ((hv(1) * lit(16) + hv(2)) * lit(16) + hv(3)) * lit(16) + hv(4)
+  }
+
+  /** DuckDB twin of [[hash16]]. */
+  def hash16Sql(id: String): String = {
+    def hv(i: Int): String =
+      s"(instr('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), $i, 1)) - 1)"
+    s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)})"
+  }
+
   /** Deterministic uniform in (0,1): the first 12 md5 hex digits as a
     * 48-bit integer m, mapped to (m+1)/(2^48+1). Exactly representable
     * arithmetic (m+1 <= 2^48 fits a double; one correctly-rounded

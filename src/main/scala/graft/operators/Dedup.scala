@@ -200,7 +200,19 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidates
     * via (k+1)-chunk pigeonhole equality join, verified with bit_count.
     *
-    * Two scale decisions, both invisible in the (exact) output:
+    * Scaling contract (measured, BENCH_SCALE_r04): chunk width
+    * w = 64/(maxDist+1) bits caps the bucket count at 2^w, so chance
+    * collisions grow as n²/2^w — at maxDist=12 (5-bit chunks) the
+    * exponent measured 0.86 on a Heaps-vocabulary corpus but 1.51 on the
+    * degenerate fixed-vocabulary one. The production dial at 10^9+ docs
+    * is WIDER chunks: lower maxDist (Manku et al. WWW'07 use 3 with
+    * 64-bit fingerprints = 16-bit chunks) or longer fingerprints, both
+    * exposed here via `maxDist` / [[SimHash.Bits]]; when the corpus is
+    * too uniform for simhash to discriminate, [[minhashLsh]] +
+    * [[verifiedJaccard]] measured flat (0.44) on the same degenerate
+    * corpus with identical exact output.
+    *
+    * Two further scale decisions, both invisible in the (exact) output:
     *  - chunk widths are BALANCED (width differs by at most one bit): the
     *    pigeonhole guarantee holds for any (k+1)-way bit partition, and a
     *    narrow chunk is a weak pruner — the old floor-width split gave
@@ -355,7 +367,12 @@ object Dedup {
     * shingle-vocabulary-sized; ranking is a per-doc window (one shuffle
     * on doc id); the candidate join inherits ngramJaccard's hot-key
     * exposure ONLY for shingles that land in many prefixes, which the
-    * ordering makes rare by construction.
+    * ordering makes rare by construction. Measured (BENCH_SCALE_r04):
+    * exponent 0.47 on a Heaps-vocabulary corpus; 1.36 on the degenerate
+    * fixed-vocabulary corpus where EVERY prefix shingle is high-df and
+    * no exact prefix bound can prune — there, [[minhashLsh]] +
+    * [[verifiedJaccard]] (measured 0.44 on the same corpus) is the
+    * at-scale substitute with identical exact output.
     *
     * Output: (id_a, id_b) candidates — a provable superset of the
     * >= t pairs; verify with [[verifiedJaccard]] to make it exact. */

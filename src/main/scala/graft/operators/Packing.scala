@@ -60,8 +60,10 @@ object Packing {
     * group onto one task, so a corpus dominated by a single giant source
     * bottlenecks on it. This variant salts any group larger than
     * `maxGroupRows` into `ceil(rows / maxGroupRows)` deterministic
-    * sub-groups (membership = `xxhash64(orderCol) mod nSubs` — stable
-    * under any physical partitioning), packs every sub-group greedily in
+    * sub-groups (membership = the portable md5 hash
+    * [[graft.functions.TextFunctions.hash16]] `mod nSubs` — stable under
+    * any physical partitioning AND identical in every engine, which is
+    * what makes the assignment DuckDB-oracle-able), packs every sub-group greedily in
     * parallel, then stitches shard ids back to one dense 0-based range
     * per group by offsetting each sub-group with the cumulative shard
     * count of the sub-groups before it.
@@ -95,7 +97,8 @@ object Packing {
     val nSubs = base.groupBy("g")
       .agg(ceil(count(lit(1)) / lit(maxGroupRows.toDouble)).cast("int").as("n_subs"))
     val salted = base.join(nSubs, Seq("g"))
-      .withColumn("sub", pmod(xxhash64(col("o")), col("n_subs")).cast("int"))
+      .withColumn("sub",
+        pmod(graft.functions.TextFunctions.hash16(col("o")), col("n_subs")).cast("int"))
     // pack each (group, sub-group) independently — same scan shape as
     // packGreedy, keyed by the composite
     val packed = salted

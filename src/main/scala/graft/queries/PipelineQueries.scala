@@ -145,6 +145,26 @@ object PipelineQueries {
       "source", "doc_id", "n_tokens", PackCapacity)
       .orderBy("source", "doc_id")
 
+  /** Sub-group cap for [[q111PackCapped]]: small enough that every
+    * source (25 docs at sf0.01) splits into 3 sub-groups, so the
+    * two-level machinery — portable-hash salting, parallel sub-group
+    * packing, cumulative shard-id stitching — is genuinely exercised
+    * and oracle-checked, not just the degenerate 1-sub-group path. */
+  val PackMaxGroupRows = 10L
+
+  /** Two-level capped packing (q54's scalable sibling): groups larger
+    * than [[PackMaxGroupRows]] rows are salted into deterministic
+    * sub-groups packed in parallel, shard ids stitched dense per group.
+    * The salt is the portable md5 [[T.hash16]], so the DuckDB oracle
+    * reproduces the exact assignment (sub-group membership, per-sub
+    * greedy scan, cumulative offsets) bit-for-bit. */
+  def q111PackCapped(s: SparkSession, d: String): DataFrame =
+    Packing.packGreedyCapped(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), T.nTokens(col("text")).as("n_tokens")),
+      "source", "doc_id", "n_tokens", PackCapacity, PackMaxGroupRows)
+      .orderBy("source", "doc_id")
+
   /** Unigram-surprisal quality score (the one-gram core of CCNet-style
     * LM filtering): corpus MLE unigram probabilities, then per-doc mean
     * -log2 p(token) = "bits per token" — unusually surprising docs are
@@ -335,6 +355,7 @@ object PipelineQueries {
     "q52_mixture_sample" -> (q52MixtureSample _),
     "q53_repetition" -> (q53Repetition _),
     "q54_pack_shards" -> (q54PackShards _),
+    "q111_pack_capped" -> (q111PackCapped _),
     "q55_unigram_surprisal" -> (q55UnigramSurprisal _),
     "q59_weighted_sample" -> (q59WeightedSample _),
   )
@@ -478,6 +499,33 @@ object PipelineQueries {
          |  FROM d JOIN r ON d.source = r.source AND d.rn = r.rn + 1)
          |SELECT source, doc_id, tok AS n_tokens, shard FROM r
          |ORDER BY source, doc_id""".stripMargin,
+    "q111_pack_capped" ->
+      s"""WITH RECURSIVE d AS (SELECT source, doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+         |ns AS (SELECT source, CAST(ceil(count(*) / $PackMaxGroupRows.0) AS INTEGER) AS n_subs
+         |  FROM d GROUP BY source),
+         |sd AS (SELECT d.source, d.doc_id, d.tok,
+         |  ${T.hash16Sql("d.doc_id")} % ns.n_subs AS sub,
+         |  row_number() OVER (PARTITION BY d.source, ${T.hash16Sql("d.doc_id")} % ns.n_subs
+         |    ORDER BY d.doc_id) AS rn
+         |  FROM d JOIN ns USING (source)),
+         |r AS (
+         |  SELECT source, sub, rn, doc_id, tok, CAST(0 AS BIGINT) AS shard, tok AS fill
+         |  FROM sd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT sd.source, sd.sub, sd.rn, sd.doc_id, sd.tok,
+         |    CASE WHEN r.fill + sd.tok <= $PackCapacity THEN r.shard ELSE r.shard + 1 END,
+         |    CASE WHEN r.fill + sd.tok <= $PackCapacity THEN r.fill + sd.tok ELSE sd.tok END
+         |  FROM sd JOIN r ON sd.source = r.source AND sd.sub = r.sub AND sd.rn = r.rn + 1),
+         |per AS (SELECT source, sub, max(shard) + 1 AS n_shards FROM r GROUP BY source, sub),
+         |off AS (SELECT source, sub, CAST(coalesce(sum(n_shards) OVER
+         |  (PARTITION BY source ORDER BY sub
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offs
+         |  FROM per)
+         |SELECT r.source, r.doc_id, r.tok AS n_tokens,
+         |  CAST(r.shard + off.offs AS BIGINT) AS shard
+         |FROM r JOIN off ON r.source = off.source AND r.sub = off.sub
+         |ORDER BY r.source, r.doc_id""".stripMargin,
     "q62_stratified_sample" ->
       s"""WITH w AS (SELECT source, doc_id, len(string_split(text, ' ')) AS weight FROM documents),
          |p AS (SELECT source, doc_id, CAST(weight AS INTEGER) AS weight,

@@ -82,10 +82,16 @@ class PackingSpec extends SparkSpec {
       .agg(max("shard")).as[Long].head() + 1
     assert(shards.max + 1 <= exactShards + 2 * 4,
       s"capped ${shards.max + 1} vs exact greedy $exactShards")
-    // and the sub-group split is real: >1 distinct xxhash64-mod-4 bucket
-    val nSubBuckets = rows.map(r => Math.floorMod(
-      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        r._2, org.apache.spark.sql.types.LongType, 42L), 4L)).distinct.size
+    // and the sub-group split is real: >1 distinct portable-hash bucket
+    // (recompute hash16 % 4 in plain Scala from the md5 hex, as any
+    // engine would)
+    def hash16(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(4), 16)
+    }
+    val nSubBuckets = rows.map(r => hash16(r._2) % 4).distinct.size
     assert(nSubBuckets > 1, "salting actually splits the group")
   }
 
