@@ -81,10 +81,7 @@ object TextFunctions {
     require(buckets > 0 && buckets <= 4096, "buckets must be in 1..4096")
     // 4 hex digits = 65536 values: the mod-`buckets` bias is <= 1/65536
     // per bucket (2 digits mod 100 would skew a "10% split" to 9.4-8.4%).
-    val hex = md5(id.cast("string"))
-    def hv(i: Int): Column =
-      call_function("instr", lit("0123456789abcdef"), substring(hex, i, 1)) - lit(1)
-    (((hv(1) * lit(16) + hv(2)) * lit(16) + hv(3)) * lit(16) + hv(4)) % lit(buckets)
+    hash16(id) % lit(buckets)
   }
 
   /** DuckDB twin of [[hashBucket]] over a SQL id expression — kept HERE so
