@@ -445,6 +445,29 @@ object AnalyticsQueries {
       ProfileCols)
       .orderBy("col_name")
 
+  /** [[q85Profile]]'s at-scale sibling over the documents table:
+    * [[DataQuality.profileApprox]] (HLL++ distinct sketches — map-side
+    * mergeable, no Expand multiplication) joined against the exact
+    * profile, reporting the EXACT columns plus one boolean per column
+    * asserting the sketch landed within 3x the default 5% rsd (with an
+    * absolute slack of 1 for tiny cardinalities). The q57 oracle
+    * pattern: sketch VALUES are engine-specific and never reach the
+    * output; DuckDB recomputes the exact columns and predicts `true`
+    * for the bound — a hash-verified accuracy contract. */
+  def q112ProfileApprox(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val docs = Tables.documents(s, d).select(cols.map(col): _*)
+    val exact = DataQuality.profile(docs, cols)
+    val approx = DataQuality.profileApprox(docs, cols)
+      .select(col("col_name"), col("n_distinct").as("nd_approx"))
+    exact.join(approx, "col_name")
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+        col("min_val"), col("max_val"),
+        (abs(col("nd_approx") - col("n_distinct")) <=
+          greatest(lit(1L), (col("n_distinct") * 0.15).cast("long"))).as("approx_ok"))
+      .orderBy("col_name")
+  }
+
   /** Declarative quality gate ([[DataQuality.checks]] + orphan counts):
     * primary-key uniqueness, completeness, value-range and
     * referential-integrity checks, each reduced to ONE violation count —
@@ -924,6 +947,7 @@ object AnalyticsQueries {
     "q95_ewma" -> (q95Ewma _),
     "q96_transitions" -> (q96Transitions _),
     "q85_profile" -> (q85Profile _),
+    "q112_profile_approx" -> (q112ProfileApprox _),
     "q86_quality_gate" -> (q86QualityGate _),
     "q87_scd2" -> (q87Scd2 _),
     "q88_skyline" -> (q88Skyline _),
@@ -1145,6 +1169,17 @@ object AnalyticsQueries {
         |FROM t WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
     "q85_profile" -> profileOracleSql,
+    "q112_profile_approx" -> {
+      // exact columns recomputed; the rsd-bound boolean is predicted true
+      // (q57 pattern — sketch values never reach the output)
+      def arm(c: String): String =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val,
+           |  true AS approx_ok FROM documents""".stripMargin
+      Seq("doc_id", "lang", "source", "n_chars").map(arm)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q86_quality_gate" ->
       """WITH s1 AS (SELECT
         |  count(*) - count(DISTINCT o_orderkey) AS pk,
