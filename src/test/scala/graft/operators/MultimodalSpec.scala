@@ -202,6 +202,38 @@ class MultimodalSpec extends SparkSpec {
     assert(keep.sameElements(small))
   }
 
+  test("8-bit unsigned WAV decodes through the PCM_UNSIGNED branch") {
+    // RIFF/WAVE, 1 channel, 8 kHz, 8-bit: samples stored offset-128
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val data = Array(128, 138, 118, 128 + 100, 128 - 100, 128).map(_.toByte)
+    val wav =
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++ "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+        "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    val f = graft.functions.MediaCodecs.audioFeatures(wav).get
+    assert(f(0) == 6f && f(1) == 8000f && f(2) == 1f)
+    assert(f(3) == 0f, "mean of 0,+10,-10,+100,-100,0")
+    assert(f(4) == -100f && f(5) == 100f)
+    assert(math.abs(f(6) - 220f / 6f) < 1e-4, "mean abs")
+  }
+
+  test("1x1 and truncated images: smallest valid decode, graceful None") {
+    val img = new java.awt.image.BufferedImage(1, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (17 << 16) | (34 << 8) | 51)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val f = graft.functions.MediaCodecs.imageFeatures(buf.toByteArray).get
+    assert(f.toSeq == Seq(1f, 1f, 17f, 34f, 51f, 17f, 34f, 51f, 17f, 34f, 51f))
+    // truncating a REAL png mid-IDAT must yield None, not an exception
+    val png = resource("/graft/fixture_4x2.png")
+    assert(graft.functions.MediaCodecs.imageFeatures(png.take(40)).isEmpty)
+    assert(graft.functions.MediaCodecs.audioFeatures(
+      resource("/graft/fixture_tone.wav").take(30)).isEmpty)
+  }
+
   test("documents-derived media table has the declared schema") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val m = mediaFromDocuments(spark, docs)
