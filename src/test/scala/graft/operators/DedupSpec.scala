@@ -107,6 +107,44 @@ class DedupSpec extends SparkSpec {
     assert(maxBucket < 60, s"widest LSH block $maxBucket of 200")
   }
 
+  test("adaptive near-dup: exact on candidates, high recall on planted pairs") {
+    // GenScale's embedding fixture: 8 planted cosine>=0.99 pairs over a
+    // 200-vector gaussian background
+    val embs = graft.tools.GenScale.embeddings(spark, 0.01, seed = 42L).toDF()
+    val planted = (0 until graft.tools.GenScale.nDupPairs(0.01))
+      .map(p => (2L * p, 2L * p + 1)).toSet
+
+    // brute-force ground truth at the same rounded threshold
+    val vecs = embs.as[(Long, Array[Float], Int)].collect().map(v => v._1 -> v._2).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for {
+      i <- vecs.keys; j <- vecs.keys if i < j
+      if math.rint(cos(vecs(i), vecs(j)) * 10000) / 10000 >= 0.99
+    } yield (i, j)).toSet
+
+    val got = Dedup.embeddingNearDupAdaptive(embs, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), "every reported pair is a true >=threshold pair")
+    val recall = got.intersect(planted).size.toDouble / planted.size
+    assert(recall >= 0.8, s"planted recall $recall (multiprobe radius 1)")
+
+    // a smaller bucket target forces MORE planes; exactness must hold and
+    // recall stay useful (the documented recall/cost dial)
+    val fine = Dedup.embeddingNearDupAdaptive(embs, threshold = 0.99, targetPerBucket = 4L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fine.subsetOf(truth))
+    assert(fine.intersect(planted).size.toDouble / planted.size >= 0.8)
+
+    // deterministic under input repartitioning
+    val again = Dedup.embeddingNearDupAdaptive(embs.repartition(13), threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("oversized blocks are dropped by maxItemsPerBlock before the pair join") {
     val got = Dedup.embeddingNearDup(wideEmbs, threshold = 0.99,
       blockCol = Some("label"), maxItemsPerBlock = 100L)
