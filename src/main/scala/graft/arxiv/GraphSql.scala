@@ -35,8 +35,13 @@ object GraphSql {
     edges.createOrReplaceTempView("edges")
   }
 
-  /** Single-quoted SQL string literal with '' escaping. */
-  def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** Single-quoted SPARK-SQL string literal. Spark's default parser
+    * treats backslash as an escape AND concatenates adjacent string
+    * literals (so the ANSI `''` doubling would silently turn `O''Brien`
+    * into `OBrien`): the correct escaping here is backslash-doubling
+    * first, then backslash-escaping quotes. */
+  def lit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   /** G2: 1-hop COAUTHORS ego network (README.md:296-310). */
   def g2EgoNetwork(authorId: String): String = {

@@ -75,9 +75,12 @@ class HttpDoiTransport(
     sleeper: Long => Unit = Thread.sleep) extends DoiTransport {
   require(maxAttempts >= 1, "maxAttempts must be at least 1")
 
-  /** URL for one DOI: path-encoded, polite-pool mailto appended. */
+  /** URL for one DOI: PATH-encoded (URLEncoder form-encodes space to
+    * '+', which servers do not decode inside path segments — a DOI with
+    * a space would silently 404; '%20' is correct there), polite-pool
+    * mailto appended as a query param where '+' is fine. */
   def url(doi: String): String = {
-    val enc = URLEncoder.encode(doi, StandardCharsets.UTF_8)
+    val enc = URLEncoder.encode(doi, StandardCharsets.UTF_8).replace("+", "%20")
     baseUrl + enc + mailto.map(m =>
       "?mailto=" + URLEncoder.encode(m, StandardCharsets.UTF_8)).getOrElse("")
   }

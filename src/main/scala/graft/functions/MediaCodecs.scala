@@ -75,8 +75,14 @@ object MediaCodecs {
       if (raw <= targetBytes) bytes
       else {
         val scale = math.sqrt(targetBytes.toDouble / raw)
-        val nw = math.max(1, (img.getWidth * scale).toInt)
-        val nh = math.max(1, (img.getHeight * scale).toInt)
+        // when one dimension collapses to the 1-pixel floor, the other
+        // must be re-derived from the budget directly or the area bound
+        // is silently skipped (a 4000x1 banner would keep 1264 columns)
+        var nw = (img.getWidth * scale).toInt
+        var nh = (img.getHeight * scale).toInt
+        if (nh < 1) { nh = 1; nw = math.min(img.getWidth, (targetBytes / 3).toInt) }
+        if (nw < 1) { nw = 1; nh = math.min(img.getHeight, (targetBytes / 3).toInt) }
+        nw = math.max(1, nw); nh = math.max(1, nh)
         val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
         val g = out.createGraphics()
         try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()

@@ -86,11 +86,8 @@ object TextFunctions {
 
   /** DuckDB twin of [[hashBucket]] over a SQL id expression — kept HERE so
     * the two can never drift apart. */
-  def hashBucketSql(id: String, buckets: Int): String = {
-    def hv(i: Int): String =
-      s"(instr('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), $i, 1)) - 1)"
-    s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)}) % $buckets"
-  }
+  def hashBucketSql(id: String, buckets: Int): String =
+    s"(${hash16Sql(id)}) % $buckets"
 
   /** The raw 16-bit value behind [[hashBucket]] (0..65535), exposed for
     * modulus-by-COLUMN uses (e.g. salting into a per-group sub-group

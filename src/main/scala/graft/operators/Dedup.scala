@@ -203,7 +203,7 @@ object Dedup {
     * Scaling contract (measured, BENCH_SCALE_r04): chunk width
     * w = 64/(maxDist+1) bits caps the bucket count at 2^w, so chance
     * collisions grow as n²/2^w — at maxDist=12 (5-bit chunks) the
-    * exponent measured 0.86 on a Heaps-vocabulary corpus but 1.51 on the
+    * exponent measured 1.16 on a Heaps-vocabulary corpus but 1.57 on the
     * degenerate fixed-vocabulary one. The production dial at 10^9+ docs
     * is WIDER chunks: lower maxDist (Manku et al. WWW'07 use 3 with
     * 64-bit fingerprints = 16-bit chunks) or longer fingerprints, both
@@ -336,6 +336,7 @@ object Dedup {
       targetPerBucket: Long = 256L, maxItemsPerBlock: Long = 10000L,
       dim: Int = 64, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(targetPerBucket > 0, "targetPerBucket must be positive")
     val n = embs.count() // bounded driver scalar; sizes the plane count
     val nPlanes = math.max(4,
       math.ceil(math.log(math.max(n, 1).toDouble / targetPerBucket) / math.log(2)).toInt)
@@ -428,11 +429,12 @@ object Dedup {
     * on doc id); the candidate join inherits ngramJaccard's hot-key
     * exposure ONLY for shingles that land in many prefixes, which the
     * ordering makes rare by construction. Measured (BENCH_SCALE_r04):
-    * exponent 0.47 on a Heaps-vocabulary corpus; 1.36 on the degenerate
-    * fixed-vocabulary corpus where EVERY prefix shingle is high-df and
-    * no exact prefix bound can prune — there, [[minhashLsh]] +
-    * [[verifiedJaccard]] (measured 0.44 on the same corpus) is the
-    * at-scale substitute with identical exact output.
+    * exponent 0.60 on a Heaps-vocabulary corpus; 1.08 on the degenerate
+    * fixed-vocabulary corpus (the positional first-meeting bound prunes
+    * even there) — and where the corpus is too uniform for any exact
+    * prefix bound, [[minhashLsh]] + [[verifiedJaccard]] (measured 0.44
+    * on the same corpus) is the at-scale substitute with identical
+    * exact output.
     *
     * Output: (id_a, id_b) candidates — a provable superset of the
     * >= t pairs; verify with [[verifiedJaccard]] to make it exact. */

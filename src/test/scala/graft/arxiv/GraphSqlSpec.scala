@@ -107,10 +107,36 @@ class GraphSqlSpec extends SparkSpec {
     assert(sql.size < rows(GraphMirror.articlesInSubdomain(tables, "LG", -1)).size)
   }
 
-  test("string arguments are escaped, not spliced") {
+  test("string arguments are escaped, not spliced — and still MATCH") {
     registerAll()
-    // a title containing a quote must parse and simply match nothing
-    val df = spark.sql(GraphSql.g4ArticlesInJournal("O'Brien's Journal"))
-    assert(df.count() == 0)
+    // count()==0 alone can't distinguish correct escaping from mangled
+    // escaping (Spark concatenates adjacent string literals, so ANSI ''
+    // doubling silently searches for the wrong title): register journals
+    // whose titles contain quotes and backslashes and assert the lookup
+    // FINDS them.
+    val tricky = Seq(
+      ("issn-q", "O'Brien's Journal", 1.0),
+      ("issn-b", """Back\slash 'mix""", 1.0))
+      .toDF("journal_issn", "journal_title", "snip_latest")
+    tables.journal.union(tricky).createOrReplaceTempView("journal")
+    val art = Seq(
+      ("artQ", "T", "10.1/q", 1, "issn-q", "journal-article", 5, 2020),
+      ("artB", "T", "10.1/b", 1, "issn-b", "journal-article", 5, 2020))
+      .toDF("article_id", "title", "doi", "n_authors", "journal_issn",
+        "type", "n_cites", "year")
+    tables.article.union(art).createOrReplaceTempView("article")
+    GraphSql.registerGraphViews(
+      GraphMirror.vertices(tables),
+      GraphMirror.edges(tables.copy(
+        article = tables.article.union(art),
+        journal = tables.journal.union(tricky))))
+    val q = spark.sql(GraphSql.g4ArticlesInJournal("O'Brien's Journal"))
+      .select("article_id").as[String].collect().toSeq
+    assert(q == Seq("artQ"), s"quote-bearing title resolves: $q")
+    val b = spark.sql(GraphSql.g4ArticlesInJournal("""Back\slash 'mix"""))
+      .select("article_id").as[String].collect().toSeq
+    assert(b == Seq("artB"), s"backslash+quote title resolves: $b")
+    // and a missing tricky title parses cleanly and matches nothing
+    assert(spark.sql(GraphSql.g4ArticlesInJournal("""no\such' journal""")).count() == 0)
   }
 }

@@ -87,6 +87,11 @@ class HttpDoiTransportSpec extends AnyFunSuite {
     assert(u.startsWith("https://api.crossref.org/works/"))
     assert(u.contains("%2F"), "DOI slashes encoded")
     assert(!u.contains("<") && !u.contains(" "), "DOI special chars encoded")
+    // PATH encoding, not form encoding: a '+' in the path would be sent
+    // verbatim to the server (servers don't decode '+' in paths) and a
+    // space-bearing DOI would silently 404
+    assert(u.contains("%20") && !u.substring(0, u.indexOf('?')).contains("+"),
+      s"space percent-encoded in path: $u")
     assert(u.endsWith("?mailto=ops%40example.org"))
   }
 

@@ -219,6 +219,21 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(6) - 220f / 6f) < 1e-4, "mean abs")
   }
 
+  test("degenerate banner resize still honors the decoded-byte budget") {
+    // 400x1: the height collapses to the 1-pixel floor, so the width must
+    // be re-derived from the budget (naive sqrt-scaling would keep ~126
+    // columns = 379 decoded bytes for a 120-byte budget)
+    val img = new java.awt.image.BufferedImage(400, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 400) img.setRGB(x, 0, x % 256)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val out = graft.functions.MediaCodecs.resizeImage(buf.toByteArray, targetBytes = 120).get
+    val dims = graft.functions.ImageHeaders.dimensions(out).get
+    assert(dims.height == 1 && dims.width.toLong * dims.height * 3 <= 120,
+      s"got ${dims.width}x${dims.height}")
+  }
+
   test("1x1 and truncated images: smallest valid decode, graceful None") {
     val img = new java.awt.image.BufferedImage(1, 1,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
