@@ -45,7 +45,16 @@ object Dedup {
   }
 
   /** Pairwise n-gram Jaccard >= threshold among docs sharing >= 1 shingle.
-    * Output: id_a < id_b, n_common, jaccard. */
+    * Output: id_a < id_b, n_common, jaccard.
+    *
+    * The `maxDocFreq` hot-shingle cap is the measured scale lever
+    * (BENCH_SCALE_r04 three_point): on the Heaps-vocabulary corpus the
+    * uncapped join's 15k→50k-doc leg exponent reached 1.40 (stopword
+    * trigrams dominate the candidate join), while maxDocFreq=200
+    * measured 0.55 at 3.6× less wall time — and near-losslessly:
+    * output-identical at 15k docs, 6217/6225 pairs (99.87%) at 50k. A
+    * shingle in hundreds of documents contributes quadratic candidates
+    * but almost never decides a J >= 0.5 verdict; cap it. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
       idCol: String = "doc_id", textCol: String = "text",
       maxDocFreq: Long = 0L): DataFrame = {
