@@ -69,9 +69,23 @@ object TextQueries {
       .select("keep_id", "n_copies", "fp")
       .orderBy("keep_id")
 
-  /** n-gram Jaccard near-dup pairs (shingle join, τ=0.5). */
+  /** Hot-shingle document-frequency cap for the declared ngram-Jaccard
+    * family (q34/q44/q56/q100) — the MEASURED sub-linear configuration
+    * (BENCH_SCALE_r04 legs.ngram_dfcap: leg exponent 1.40 → 0.55, 3.6×
+    * less wall time, 99.87% recall at 50k docs, output-identical at
+    * 15k). Inert by construction on the driver fixtures (max shingle df
+    * is 7 at sf0.01 and 25 at sf0.1 — far under the cap), and mirrored
+    * IDENTICALLY in every oracle (the `df <= cap` CTE), so engine and
+    * DuckDB agree at any scale, including corpora where the cap bites
+    * (hash-checked on the generated g0.3 corpus, where 68 shingles
+    * exceed it). */
+  val MaxShingleDf = 200L
+
+  /** n-gram Jaccard near-dup pairs (shingle join, τ=0.5, hot-shingle
+    * cap [[MaxShingleDf]]). */
   def q34NgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccard(Tables.documents(s, d), n = 3, threshold = 0.5)
+    Dedup.ngramJaccard(Tables.documents(s, d), n = 3, threshold = 0.5,
+        maxDocFreq = MaxShingleDf)
       .orderBy("id_a", "id_b")
 
   /** MinHash+LSH candidates (16 hashes, 4 bands) verified with EXACT
@@ -136,7 +150,8 @@ object TextQueries {
       .withColumn("min_id", min("doc_id").over(w))
       .filter(col("doc_id") === col("min_id"))
       .drop("fp", "min_id")
-    val pairs = Dedup.ngramJaccard(exactKept, n = 3, threshold = 0.5)
+    val pairs = Dedup.ngramJaccard(exactKept, n = 3, threshold = 0.5,
+        maxDocFreq = MaxShingleDf)
       .select("id_a", "id_b")
     val comp = ConnectedComponents.resolve(pairs)
       .withColumnRenamed("id", "doc_id")
@@ -199,7 +214,8 @@ object TextQueries {
     * min-reachable-id over the same exact-Jaccard edges. */
   def q44DedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+    val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5,
+        maxDocFreq = MaxShingleDf)
       .select("id_a", "id_b")
     val comp = ConnectedComponents.resolve(pairs)
       .withColumnRenamed("id", "doc_id")
@@ -217,7 +233,8 @@ object TextQueries {
     * pipeline user actually runs; q33-q44 are its pieces. */
   def q56DedupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+    val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5,
+        maxDocFreq = MaxShingleDf)
       .select("id_a", "id_b")
     val comp = ConnectedComponents.resolve(pairs)
       .withColumnRenamed("id", "doc_id")
@@ -425,7 +442,7 @@ object TextQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         |md5(lower(text)) AS fp
         |FROM documents GROUP BY fp ORDER BY keep_id""".stripMargin,
-    "q34_ngram_jaccard" -> exactJaccardSql,
+    "q34_ngram_jaccard" -> cappedJaccardSql,
     // q35/q36 output exact Jaccard on LSH/SimHash candidates: identical
     // to the all-pairs truth whenever the candidate set has recall 1.0 —
     // the hash-match IS the recall proof (engine-specific hashing never
@@ -439,8 +456,7 @@ object TextQueries {
          |ex AS (SELECT *, row_number() OVER
          |  (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn FROM q),
          |d2 AS (SELECT doc_id, source, t FROM ex WHERE rn = 1),
-         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
-         |  i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM d2 WHERE len(t) >= 3),
+         |${cappedShCtes("d2")},
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -504,13 +520,25 @@ object TextQueries {
        |FROM c, tt WHERE exact_count > total / ${HeavyHitterK + 1}.0
        |ORDER BY t""".stripMargin
 
+  /** The hot-shingle cap as oracle CTEs: `sh0` (distinct doc-shingle) →
+    * `hot` (df > cap) → `sh` (anti-joined away) — the EXACT mirror of
+    * [[graft.operators.Dedup]]'s docShingles(maxDocFreq): the cap is
+    * applied on distinct (doc, shingle) pairs and sizes are computed
+    * AFTER pruning, so Jaccard denominators shrink identically in both
+    * engines when the cap bites. */
+  private def cappedShCtes(docsFrom: String): String =
+    s"""sh0 AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
+       |  FROM $docsFrom WHERE len(t) >= 3),
+       |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > $MaxShingleDf),
+       |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shingle = sh0.shingle))""".stripMargin
+
   /** Shared recursive-CTE prefix for the connected-components oracles
-    * (q44, q56): exact-Jaccard edges + min-reachable-id closure. */
+    * (q44, q56): capped-Jaccard edges + min-reachable-id closure. */
   private lazy val ccCtesSql: String =
-    """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |  unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
-      |  FROM docs WHERE len(t) >= 3),
+    s"""WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |${cappedShCtes("docs")},
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -525,11 +553,29 @@ object TextQueries {
       |  UNION
       |  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v)""".stripMargin
 
+  /** Uncapped exact all-pairs Jaccard — the oracle for the
+    * candidate+verify family (q35/q36/q97), whose engines verify with
+    * UNCAPPED shingles; the hash-match remains their recall proof. */
   private lazy val exactJaccardSql: String =
     """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |  unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
       |  FROM docs WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY id_a, id_b)
+      |SELECT id_a, id_b, n_common,
+      |  round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+      |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** q34's oracle: identical to [[exactJaccardSql]] plus the
+    * [[MaxShingleDf]] cap CTEs — mirrors the declared query exactly. */
+  private lazy val cappedJaccardSql: String =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |${cappedShCtes("docs")},
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
