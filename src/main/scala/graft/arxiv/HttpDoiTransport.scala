@@ -94,7 +94,12 @@ class HttpDoiTransport(
         catch { case e: IOException => Left(e) }
       outcome match {
         case Right((200, body)) => return Some(body)
-        case Right((status, _)) if status == 429 || status >= 500 =>
+        // retryable: throttling (429), server errors (5xx), and the
+        // transient request-side statuses 408 Request Timeout / 425 Too
+        // Early — treating those as permanent would record a transient
+        // condition as an enrichment miss
+        case Right((status, _))
+            if status == 429 || status >= 500 || status == 408 || status == 425 =>
           if (attempt >= maxAttempts)
             throw new IOException(
               s"Crossref returned $status for $target after $maxAttempts attempts")

@@ -125,7 +125,11 @@ object MediaCodecs {
                   val (b0, b1) =
                     if (fmt.isBigEndian) (data(2 * i + 1) & 0xff, data(2 * i))
                     else (data(2 * i) & 0xff, data(2 * i + 1))
-                  (b1 << 8) | b0
+                  // 16-bit PCM_UNSIGNED (rare but legal WAV) is centered
+                  // at 32768 — parsing it as signed would skew every stat
+                  if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                    ((((b1 & 0xff) << 8) | b0) & 0xffff) - 32768
+                  else (b1 << 8) | b0
                 }
               sum += v; sumAbs += math.abs(v)
               if (v < min) min = v

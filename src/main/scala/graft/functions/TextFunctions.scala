@@ -145,6 +145,25 @@ object TextFunctions {
     s"CAST(${terms.mkString(" + ")} AS BIGINT)"
   }
 
+  /** Deterministic 60-bit integer hash of a string expression (the first
+    * 15 md5 hex digits) — the portable simhash FEATURE hash: wide enough
+    * that 60-bit signatures discriminate like the engine-native 64-bit
+    * xxhash64 family, yet every value stays < 2^60, so ANSI Long shifts
+    * and sums never overflow and DuckDB reproduces each bit from the
+    * same hex digits. */
+  def hash60(v: Column): Column =
+    conv(substring(md5(v), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[hash60]]. Each term is < 15·16^14 < 2^60 and the
+    * sum < 2^60, so BIGINT arithmetic is exact on both engines. */
+  def hash60Sql(v: String): String = {
+    val terms = (1 to 15).map { i =>
+      val mult = java.math.BigInteger.valueOf(16).pow(15 - i)
+      s"(instr('0123456789abcdef', substring(md5($v), $i, 1)) - 1) * $mult"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
   /** 80/10/10 split label from [[hashBucket]] (buckets 0-79 train,
     * 80-89 val, 90-99 test). */
   def splitLabel(id: Column): Column = {

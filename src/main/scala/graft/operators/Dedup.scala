@@ -241,12 +241,59 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
-      saltBuckets: Int = 16, n: Int = 3): DataFrame = {
+      saltBuckets: Int = 16, n: Int = 3): DataFrame =
+    simhashChunkJoin(simhashDocs(docs, idCol, textCol, n),
+      maxDist, SimHash.Bits, saltBuckets)
+
+  /** Signature width of the [[simhashDocsPortable]] family: 60 bits (15
+    * md5 hex digits per feature — see TextFunctions.hash60), so every
+    * shift/sum stays ANSI-Long-safe and DuckDB reproduces each bit. */
+  val PortableSimHashBits = 60
+
+  /** Portable 60-bit simhash signatures: identical shape to
+    * [[simhashDocs]] but the feature hash is md5-derived
+    * (TextFunctions.hash60) instead of xxhash64, so a SQL engine can
+    * recompute every signature bit from the same hex digits — the
+    * q39/q40 recompute-the-buckets oracle pattern applied to simhash.
+    * (Bits 60-63 of the aggregated signature are structurally 0: every
+    * feature hash is < 2^60, so those counters only ever decrement.) */
+  def simhashDocsPortable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(T.shingles(col(textCol), n))).as("tok"))
+      .select(col("id"), T.hash60(col("tok")).as("h"))
+      .groupBy("id")
+      .agg(SimHash(col("h")).as("simhash"))
+
+  /** SimHash near-dup candidates at the Manku production width: the
+    * at-scale configuration the [[simhashPairs]] scaladoc recommends —
+    * maxDist=3 over the 60-bit portable signature gives four 15-bit
+    * chunks (2^15 buckets per chunk), so the n²/2^w chance-collision
+    * term that breaks narrow chunks (measured exponent 1.57 adversarial
+    * at maxDist=12's 5-bit chunks) is suppressed by a 1024× larger
+    * bucket space (Manku et al. WWW'07 run exactly this shape: 64-bit
+    * fingerprints, distance 3, 16-bit blocks). Recall is the documented
+    * trade: only the tightest near-dups sit within Hamming 3, so route
+    * looser corpora through [[minhashLsh]] + [[verifiedJaccard]].
+    * Portable signatures make the whole operator — signature bits,
+    * chunking, candidate join, Hamming filter — reproducible in SQL
+    * (declared as q114 with a full DuckDB mirror). */
+  def simhashPairsPortable(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      saltBuckets: Int = 16, n: Int = 3): DataFrame =
+    simhashChunkJoin(simhashDocsPortable(docs, idCol, textCol, n),
+      maxDist, PortableSimHashBits, saltBuckets)
+
+  /** Shared pigeonhole chunk join over (id, simhash) signatures: balanced
+    * (k+1)-chunk split of the low `bits` bits, salted bucket self-join,
+    * Hamming verify before distinct. See [[simhashPairs]] for the scale
+    * rationale of each step. */
+  private def simhashChunkJoin(sims: DataFrame, maxDist: Int, bits: Int,
+      saltBuckets: Int): DataFrame = {
     val nChunks = maxDist + 1
-    val base = SimHash.Bits / nChunks
-    val extra = SimHash.Bits % nChunks // first `extra` chunks get +1 bit
+    val base = bits / nChunks
+    val extra = bits % nChunks // first `extra` chunks get +1 bit
     def off(c: Int): Int = c * base + math.min(c, extra)
-    val sims = simhashDocs(docs, idCol, textCol, n)
     val chunks = sims.select(col("id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
         val width = base + (if (c < extra) 1 else 0)
@@ -342,17 +389,32 @@ object Dedup {
     * The corpus count is one driver scalar (documented bounded collect —
     * the same class as IVF centroids); plane count therefore depends
     * only on the DATA, never on partitioning, so results are
-    * deterministic at any parallelism. Not statically DuckDB-oracle-able
-    * (the plane count is data-dependent); covered by DedupSpec
-    * recall/exactness pins instead. */
+    * deterministic at any parallelism — and the q113 oracle reproduces
+    * it in DuckDB: nPlanes is one COUNT scalar subquery, the bucket is
+    * the 30-plane bucket masked to the low nPlanes bits (Rademacher
+    * plane i is seed-deterministic and independent of the family size —
+    * asserted by DedupSpec's prefix pin), and the radius-1 multiprobe is
+    * an XOR-bit-flip join. */
   def embeddingNearDupAdaptive(embs: DataFrame, threshold: Double = 0.9,
       targetPerBucket: Long = 256L, maxItemsPerBlock: Long = 10000L,
       dim: Int = 64, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(targetPerBucket > 0, "targetPerBucket must be positive")
     val n = embs.count() // bounded driver scalar; sizes the plane count
-    val nPlanes = math.max(4,
-      math.ceil(math.log(math.max(n, 1).toDouble / targetPerBucket) / math.log(2)).toInt)
+    // exact integer ceil(log2(n / targetPerBucket)): smallest p with
+    // 2^p · targetPerBucket >= n. (An FP log could mis-round at exact
+    // powers of two, and the oracle must land on the SAME p.)
+    var p = 0
+    while (p <= MaxAdaptivePlanes && (1L << p) * targetPerBucket < n) p += 1
+    val nPlanes = math.max(4, p)
+    // lshBucket packs plane signs into an Int and the probe literals are
+    // 1 << i — both overflow silently past 30 planes. Unreachable below
+    // ~2.7e11 vectors at the default target, but this is the variant
+    // pitched for huge corpora, so fail loudly instead of corrupting
+    // buckets.
+    require(nPlanes <= MaxAdaptivePlanes,
+      s"nPlanes $nPlanes exceeds $MaxAdaptivePlanes (corpus $n rows / " +
+        s"targetPerBucket $targetPerBucket); raise targetPerBucket")
     val planes = V.rademacherPlanes(nPlanes, dim, seed)
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       V.l2Norm(col(vecCol)).as("nrm"),
@@ -377,7 +439,51 @@ object Dedup {
       .withColumn("cos", round(V.cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-      .distinct() // a pair meets twice when buckets differ in exactly one bit
+      // defensive only: with one-sided radius-1 probing a pair meets at
+      // most once (flip = 0 when buckets are equal, exactly one flip
+      // matches when they differ in one bit, none otherwise)
+      .distinct()
+  }
+
+  /** Plane-family cap for [[embeddingNearDupAdaptive]]: lshBucket packs
+    * plane signs into an Int and the multiprobe literals are `1 << i`,
+    * both valid only for nPlanes <= 30. */
+  val MaxAdaptivePlanes = 30
+
+  /** DuckDB twin of [[embeddingNearDupAdaptive]] (default dim/seed): the
+    * data-dependent plane count is the same integer scalar — the
+    * smallest p with 2^p · targetPerBucket >= count(*) — the bucket is
+    * the full [[MaxAdaptivePlanes]]-plane bucket masked to the low
+    * nPlanes bits (valid because Rademacher plane i never depends on the
+    * family size — the prefix property DedupSpec pins), and side B's
+    * radius-1 multiprobe is an XOR with each single-bit flip below
+    * nPlanes. */
+  def embeddingNearDupAdaptiveOracleSql(threshold: Double,
+      targetPerBucket: Long = 256L, maxItemsPerBlock: Long = 10000L): String = {
+    val family = V.rademacherPlanes(MaxAdaptivePlanes, 64, seed = 7L)
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |np AS (SELECT GREATEST(4, (
+       |    SELECT min(p) FROM (SELECT unnest(range(0, ${MaxAdaptivePlanes + 1})) AS p)
+       |    WHERE (CAST(1 AS BIGINT) << p) * $targetPerBucket >= (SELECT count(*) FROM e)
+       |  )) AS np),
+       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |  CAST(${V.lshBucketDuckDbSql(family)} AS BIGINT)
+       |    & ((CAST(1 AS BIGINT) << np.np) - 1) AS blk
+       |  FROM e, np),
+       |ok AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= $maxItemsPerBlock),
+       |f AS (SELECT b.* FROM b JOIN ok USING (blk)),
+       |flips AS (SELECT CAST(0 AS BIGINT) AS flip
+       |  UNION ALL
+       |  SELECT (CAST(1 AS BIGINT) << i) AS flip
+       |  FROM (SELECT unnest(range(0, $MaxAdaptivePlanes)) AS i), np WHERE i < np.np),
+       |pb AS (SELECT xor(f.blk, fl.flip) AS blk, f.vec_id, f.v, f.nrm
+       |  FROM f, flips fl)
+       |SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+       |  round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 4) AS cos
+       |FROM f a JOIN pb c ON a.blk = c.blk AND a.vec_id < c.vec_id
+       |WHERE round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 4) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** DuckDB twin of [[embeddingNearDup]] with default LSH blocking —

@@ -113,6 +113,26 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SimHash at the Manku PRODUCTION width (maxDist=3 → four 15-bit
+    * chunks over the portable 60-bit signature) — the at-scale simhash
+    * configuration the q36 scaladoc recommends, declared: the 2^15
+    * buckets per chunk suppress the n²/2^w chance-collision term that
+    * makes q36's 5-bit chunks break on uniform corpora (measured 1.57
+    * adversarial). Verified with exact Jaccard like q35/q36, but the
+    * oracle is STRONGER than exact-all-pairs: md5-derived feature hashes
+    * make every signature bit SQL-reproducible, so DuckDB mirrors the
+    * signatures, the chunk join, and the Hamming filter bit-for-bit —
+    * the hash match proves the ENGINE's candidate machinery, not just
+    * recall on a lucky corpus (recall at Hamming 3 is the documented
+    * trade: only the tightest near-dups qualify). */
+  def q114SimhashManku(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.verifiedJaccard(docs,
+      Dedup.simhashPairsPortable(docs, maxDist = 3),
+      threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Prefix-filtering near-dup join (SSJoin/AllPairs candidates +
     * exact verification): the hash-free exact counterpart to q35/q36 —
     * candidates come from joining only each doc's rarest
@@ -349,6 +369,7 @@ object TextQueries {
     "q98_phrase_search" -> (q98PhraseSearch _),
     "q100_pipeline_e2e" -> (q100PipelineE2e _),
     "q36_simhash_pairs" -> (q36Simhash _),
+    "q114_simhash_manku" -> (q114SimhashManku _),
     "q37_rolling_fingerprint" -> (q37RollingFingerprint _),
     "q44_dedup_clusters" -> (q44DedupClusters _),
     "q48_train_split" -> (q48TrainSplit _),
@@ -485,6 +506,7 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_hits, CAST(min(i) AS BIGINT) AS first_pos
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q36_simhash_pairs" -> exactJaccardSql,
+    "q114_simhash_manku" -> simhashMankuSql,
     "q37_rolling_fingerprint" ->
       "SELECT doc_id, true AS consistent FROM documents ORDER BY doc_id",
     "q44_dedup_clusters" ->
@@ -570,6 +592,45 @@ object TextQueries {
       |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
       |WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q114's oracle: a FULL mirror of the portable Manku-width simhash —
+    * DuckDB recomputes each 60-bit signature from the same md5 feature
+    * hashes (sign of the per-bit ±1 sums), splits it into the same four
+    * 15-bit chunks, joins chunks for candidates, applies the Hamming<=3
+    * filter, then verifies with exact Jaccard — so the hash compare
+    * proves the candidate machinery itself, independent of recall.
+    * (By pigeonhole the chunk join finds exactly the Hamming<=3 pairs,
+    * but the oracle mirrors the mechanism rather than assuming the
+    * theorem.) */
+  private lazy val simhashMankuSql: String = {
+    val bits = graft.operators.Dedup.PortableSimHashBits // 60: 4 chunks x 15
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
+       |  FROM docs WHERE len(t) >= 3),
+       |hv AS (SELECT doc_id, ${T.hash60Sql("shingle")} AS h FROM sh),
+       |bs AS (SELECT doc_id, j,
+       |  sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM hv, (SELECT unnest(range(0, $bits)) AS j) js GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM bs GROUP BY doc_id),
+       |ch AS (SELECT doc_id, sig, c, (sig >> CAST(15 * c AS INTEGER)) & 32767 AS chunk
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS c) cs),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT id_a, id_b, count(*) AS n_common
+       |  FROM cand JOIN sh a ON a.doc_id = cand.id_a
+       |  JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+       |  GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, n_common,
+       |  round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+       |FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** q34's oracle: identical to [[exactJaccardSql]] plus the
     * [[MaxShingleDf]] cap CTEs — mirrors the declared query exactly. */

@@ -48,6 +48,18 @@ object VectorQueries {
     Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.3)
       .orderBy("id_a", "id_b")
 
+  /** The AT-SCALE embedding near-dup (the documented default for large
+    * corpora): plane count grows as ceil(log2(n/targetPerBucket)) so
+    * bucket populations — and therefore candidate work per row — stay
+    * constant as the corpus grows, where q40's fixed 16 buckets are
+    * Θ(n²/16) asymptotically. Radius-1 multiprobe recovers the recall
+    * the extra planes cost. Fully DuckDB-mirrored: the oracle recomputes
+    * the corpus-count scalar, the masked bucket, the XOR multiprobe, and
+    * every cosine (see Dedup.embeddingNearDupAdaptiveOracleSql). */
+  def q113EmbedNearDupAdaptive(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupAdaptive(Tables.embeddings(s, d), threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
   /** IVF approximate top-3 with data-seeded centroids (embeddings of
     * vec_id < 8) and nprobe=2 — deterministic and SQL-reproducible, so
     * the whole operator is hash-verified. The KMeans-cell variant
@@ -155,6 +167,7 @@ object VectorQueries {
     "q38_knn_bruteforce" -> (q38KnnBrute _),
     "q39_knn_lsh" -> (q39KnnLsh _),
     "q40_embed_neardup" -> (q40EmbedNearDup _),
+    "q113_embed_neardup_adaptive" -> (q113EmbedNearDupAdaptive _),
     "q41_knn_ivf" -> (q41KnnIvf _),
     "q47_embed_quantize" -> (q47EmbedQuantize _),
   )
@@ -230,6 +243,8 @@ object VectorQueries {
          |SELECT query_id, neighbor_id, cos, rn FROM ranked
          |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
     "q40_embed_neardup" -> Dedup.embeddingNearDupOracleSql(threshold = 0.3),
+    "q113_embed_neardup_adaptive" ->
+      Dedup.embeddingNearDupAdaptiveOracleSql(threshold = 0.3),
     "q47_embed_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

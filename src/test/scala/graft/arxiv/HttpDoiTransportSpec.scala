@@ -50,6 +50,13 @@ class HttpDoiTransportSpec extends AnyFunSuite {
     assert(sleeps.toSeq == Seq(100L))
   }
 
+  test("transient 408/425 are retried, not recorded as misses") {
+    val http = new Scripted(Right((408, "")), Right((425, "")), Right((200, "ok")))
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    assert(transport(http, sleeps).fetch("10.1/x").contains("ok"))
+    assert(sleeps.toSeq == Seq(100L, 200L))
+  }
+
   test("persistent 5xx throws after maxAttempts — checkpoint-resume takes over") {
     val http = new Scripted(Right((500, "")), Right((502, "")), Right((500, "")))
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -64,6 +64,39 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((2L, 4L)))
   }
 
+  test("portable simhash: top 4 signature bits are zero, candidates are exactly the Hamming<=maxDist pairs") {
+    // a corpus with one near-dup pair (2/3) plus case-distinct exact-dup
+    // shingle sets (0/1 share every lowercased... actually differ: shingles
+    // are case-sensitive, so 0/1 are far apart) — enough structure to
+    // exercise both sides of the pigeonhole
+    val sims = Dedup.simhashDocsPortable(docs).as[(Long, Long)].collect().toMap
+    // feature hashes are < 2^60, so bits 60-63 only ever decrement
+    assert(sims.values.forall(s => (s >>> Dedup.PortableSimHashBits) == 0L))
+    for (maxDist <- Seq(3, 10)) {
+      val brute = (for {
+        a <- sims.keys; b <- sims.keys if a < b
+        if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= maxDist
+      } yield (a, b)).toSet
+      val got = Dedup.simhashPairsPortable(docs, maxDist = maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // pigeonhole completeness AND no spurious pairs: the chunk join
+      // finds exactly the Hamming<=maxDist pairs
+      assert(got == brute, s"maxDist=$maxDist")
+    }
+  }
+
+  test("rademacher plane i is independent of family size (q113 oracle prefix contract)") {
+    // the q113 oracle embeds the 30-plane family and masks the bucket to
+    // the low nPlanes bits — valid iff rademacherPlanes(k) is a prefix of
+    // rademacherPlanes(30) for every k
+    val fam = graft.functions.VectorFunctions
+      .rademacherPlanes(Dedup.MaxAdaptivePlanes, 64, seed = 7L)
+    for (k <- Seq(1, 4, 7, 16)) {
+      val small = graft.functions.VectorFunctions.rademacherPlanes(k, 64, seed = 7L)
+      assert(fam.take(k).map(_.toSeq).toSeq == small.map(_.toSeq).toSeq, s"k=$k")
+    }
+  }
+
   test("embedding near-dup by cosine with explicit label blocking") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
