@@ -41,9 +41,16 @@ object ConnectedComponents {
     *         component = min node id of its connected component */
   def resolve(pairs: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
       maxIter: Int = 20, requireConverged: Boolean = true): DataFrame = {
+    // Evaluate the (possibly expensive) pair lineage exactly ONCE: the
+    // callers feed ngramJaccard/minhashLsh output whose shingle-df
+    // aggregates and candidate self-join would otherwise recompute for
+    // the `nodes` frame below — measured at sf0.1 this halved q100's
+    // near-dup stage. Only the two id columns are materialized.
+    val p = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint()
     // symmetrize once; edges keep BOTH directions so Γ(u) is one groupBy
-    var edges = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(pairs.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    var edges = p.select(col("a").as("u"), col("b").as("v"))
+      .union(p.select(col("b").as("u"), col("a").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
@@ -90,8 +97,8 @@ object ConnectedComponents {
 
     // at the fixpoint the graph is a union of depth-1 stars rooted at
     // component minima: component(u) = min(u, min(Γ(u)))
-    val nodes = pairs.select(col(srcCol).as("id"))
-      .union(pairs.select(col(dstCol).as("id"))).distinct()
+    val nodes = p.select(col("a").as("id"))
+      .union(p.select(col("b").as("id"))).distinct()
     nodes.join(edges.groupBy("u").agg(min("v").as("m")),
         nodes("id") === col("u"), "left")
       .select(col("id"), least(col("id"), coalesce(col("m"), col("id"))).as("component"))
