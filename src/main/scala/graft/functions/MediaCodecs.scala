@@ -7,9 +7,10 @@ import javax.sound.sampled.AudioSystem
 
 /** REAL pixel/audio decode with zero new dependencies: the JDK ships
   * `javax.imageio` (PNG/JPEG/GIF/BMP pixel decode) and
-  * `javax.sound.sampled` (WAV/AU/AIFF PCM decode) — so only VIDEO decode
-  * genuinely needs an external codec library and stays stubbed
-  * ([[graft.operators.Multimodal.StubCodec]]). Everything here is pure
+  * `javax.sound.sampled` (WAV/AU/AIFF PCM decode); MJPEG-in-AVI video
+  * decodes via [[VideoCodecs]] (RIFF walk + the same ImageIO path), so
+  * only non-MJPEG video codecs genuinely need an external library and
+  * stay stubbed ([[graft.operators.Multimodal.StubCodec]]). Everything here is pure
   * bytes-in/values-out and `Option`-shaped: an unparseable payload is
   * `None`, never an exception — the 100 TB posture, where a corrupt blob
   * must not kill a 10-hour stage.

@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   *    setup per batch, the same shape a vectorized/Arrow-batch UDF has;
   *  - image and audio decode are REAL ([[graft.functions.MediaCodecs]] —
   *    JDK `javax.imageio` pixel decode and `javax.sound` PCM decode, zero
-  *    added dependencies), falling back to the deterministic
-  *    [[StubCodec]] byte-moments for payloads no codec parses; ONLY
-  *    video decode is stubbed (the JDK ships no video codec).
+  *    added dependencies), and video decode is REAL for MJPEG-in-AVI
+  *    ([[graft.functions.VideoCodecs]] — RIFF container walk + per-frame
+  *    JPEG via the same ImageIO path); the deterministic [[StubCodec]]
+  *    byte-moments remain only for payloads no codec parses (for video
+  *    that means every non-MJPEG codec — the JDK ships none).
   */
 object Multimodal {
 
@@ -38,10 +40,11 @@ object Multimodal {
       checksum: Long, feature: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, frame_ms: Int, bytes: Array[Byte])
 
-  /** Fallback/video decoder: deterministic byte-stream moments for
-    * payloads no real codec parses (and for video, where the JDK ships
-    * no codec — the one remaining genuine stub). Deterministic in the
-    * payload bytes so tests and oracle-style checks are stable. */
+  /** Fallback decoder: deterministic byte-stream moments for payloads no
+    * real codec parses — for video that means every codec except
+    * MJPEG-in-AVI ([[graft.functions.VideoCodecs]]), since the JDK ships
+    * no video codec library. Deterministic in the payload bytes so tests
+    * and oracle-style checks are stable. */
   object StubCodec {
     /** Deterministic fake: 4 moments of the byte stream. */
     def decodeFeatures(bytes: Array[Byte]): Array[Float] = {
@@ -68,12 +71,14 @@ object Multimodal {
 
   /** Decode + feature-extract every payload (batched). Image payloads
     * decode to real per-channel pixel stats (11 floats —
-    * [[graft.functions.MediaCodecs.imageFeatures]]) and audio payloads
-    * to real PCM sample stats (7 floats —
-    * [[graft.functions.MediaCodecs.audioFeatures]]); video and any
-    * payload no codec parses fall back to the 4-float [[StubCodec]]
-    * byte moments. The feature-vector LENGTH therefore tells which
-    * path ran — asserted in MultimodalSpec. */
+    * [[graft.functions.MediaCodecs.imageFeatures]]), audio payloads to
+    * real PCM sample stats (7 floats —
+    * [[graft.functions.MediaCodecs.audioFeatures]]), video payloads to
+    * real MJPEG frame stats (8 floats —
+    * [[graft.functions.VideoCodecs.videoFeatures]]); any payload no
+    * codec parses falls back to the 4-float [[StubCodec]] byte moments.
+    * The feature-vector LENGTH therefore tells which path ran —
+    * asserted in MultimodalSpec. */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     mapBatches(media, batchSize) { batch =>
@@ -82,6 +87,8 @@ object Multimodal {
           case "image" => graft.functions.MediaCodecs.imageFeatures(m.bytes)
             .getOrElse(StubCodec.decodeFeatures(m.bytes))
           case "audio" => graft.functions.MediaCodecs.audioFeatures(m.bytes)
+            .getOrElse(StubCodec.decodeFeatures(m.bytes))
+          case "video" => graft.functions.VideoCodecs.videoFeatures(m.bytes)
             .getOrElse(StubCodec.decodeFeatures(m.bytes))
           case _ => StubCodec.decodeFeatures(m.bytes)
         }
@@ -108,20 +115,37 @@ object Multimodal {
   }
 
   /** Sample every `everyMs` frame of video payloads — a row fan-out
-    * (flatMap), still narrow. */
+    * (flatMap), still narrow. MJPEG-in-AVI payloads get REAL frames:
+    * the sample at t = i·everyMs is the JPEG of the frame on screen at
+    * that instant (index floor(t / msPerFrame), clamped to the last
+    * frame), duration = nFrames·msPerFrame from the avih header. Other
+    * codecs fall back to the stub slice over the supplied meta
+    * duration. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Int,
       batchSize: Int = 16): Dataset[Frame] = {
     import media.sparkSession.implicits._
+    val every = math.max(everyMs, 1)
     mapBatches(media, batchSize)(_.flatMap { m =>
       if (m.kind != "video") Seq.empty
-      else {
-        val dur = m.meta.duration_ms.getOrElse(0)
-        (0 until math.max(dur / math.max(everyMs, 1), 0)).map { i =>
-          val ms = i * everyMs
-          // ??? real frame decode — fake: a deterministic byte slice per frame
-          val fb = StubCodec.resize(m.bytes.drop(ms % math.max(m.bytes.length, 1)), 16)
-          Frame(m.media_id, i, ms, fb)
-        }
+      else graft.functions.VideoCodecs.decodeAvi(m.bytes) match {
+        case Some(avi) =>
+          val msPer = math.max(avi.info.microSecPerFrame / 1000, 1)
+          val dur = avi.frames.size * msPer
+          // every instant t = i·every with t < dur has a frame on
+          // screen, so the sample count is ceil(dur / every)
+          (0 until math.max((dur + every - 1) / every, 0)).map { i =>
+            val ms = i * every
+            val idx = math.min(ms / msPer, avi.frames.size - 1)
+            Frame(m.media_id, i, ms, avi.frames(idx))
+          }
+        case None =>
+          val dur = m.meta.duration_ms.getOrElse(0)
+          (0 until math.max(dur / every, 0)).map { i =>
+            val ms = i * every
+            // non-MJPEG codec: deterministic byte slice per frame (stub)
+            val fb = StubCodec.resize(m.bytes.drop(ms % math.max(m.bytes.length, 1)), 16)
+            Frame(m.media_id, i, ms, fb)
+          }
       }
     })
   }

@@ -176,7 +176,7 @@ class MultimodalSpec extends SparkSpec {
     assert(got(30L).length == 11 && got(30L)(2) == 112.75f, "real pixel path")
     assert(got(31L).length == 7 && got(31L)(3) == 500f, "real PCM path")
     assert(got(32L).length == 4, "unparseable image falls back to stub moments")
-    assert(got(33L).length == 4, "video stays stubbed")
+    assert(got(33L).length == 4, "non-MJPEG video falls back to stub moments")
   }
 
   test("REAL image resize scales pixels under the decoded-byte budget") {
@@ -247,6 +247,60 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.functions.MediaCodecs.imageFeatures(png.take(40)).isEmpty)
     assert(graft.functions.MediaCodecs.audioFeatures(
       resource("/graft/fixture_tone.wav").take(30)).isEmpty)
+  }
+
+  test("REAL MJPEG-AVI decode: container walk extracts frames byte-identically") {
+    import graft.functions.{MjpegAviTestSupport => A, VideoCodecs}
+    // one odd-length frame forces the even-padding rule through the walk
+    val frames = Seq(A.jpegFrame(8, 6, 0xff0000), A.jpegFrame(8, 6, 0x00ff00),
+      A.jpegFrame(8, 6, 0x0000ff))
+    for (nest <- Seq(false, true)) { // flat movi AND rec -nested layouts
+      val avi = A.build(frames, usPerFrame = 40000, w = 8, h = 6, nestInRec = nest)
+      val got = VideoCodecs.decodeAvi(avi).get
+      assert(got.info == VideoCodecs.AviInfo(40000, 3, 8, 6), s"nest=$nest")
+      assert(got.frames.size == 3 &&
+        got.frames.zip(frames).forall { case (a, b) => a.sameElements(b) },
+        s"frames byte-identical, nest=$nest")
+    }
+    // malformed payloads: None, never an exception
+    val avi = A.build(frames, 40000, 8, 6)
+    assert(VideoCodecs.decodeAvi(avi.take(40)).isEmpty, "truncated")
+    assert(VideoCodecs.decodeAvi("RIFFxxxxWAVE".getBytes).isEmpty, "wrong form type")
+    assert(VideoCodecs.decodeAvi(Array.emptyByteArray).isEmpty)
+  }
+
+  test("REAL MJPEG-AVI decode: committed fixture yields known frame stats") {
+    import graft.functions.VideoCodecs
+    val avi = resource("/graft/fixture_mjpeg.avi")
+    val got = VideoCodecs.decodeAvi(avi).get
+    assert(got.frames.size == 3 && got.info == VideoCodecs.AviInfo(40000, 3, 8, 6))
+    val f = VideoCodecs.videoFeatures(avi).get
+    // 3 solid 8x6 frames (red/green/blue) at 25 fps; per-channel means
+    // averaged over the frames land near 255/3 (JPEG quantization moves
+    // them a few counts — values recorded at fixture-generation time)
+    assert(f.length == 8)
+    assert(f(0) == 3f && f(1) == 25f && f(2) == 8f && f(3) == 6f)
+    for (c <- 4 to 7)
+      assert(math.abs(f(c) - 85f) < 3f, s"channel $c mean ${f(c)}")
+    // the 8-float video path is selected by extractFeatures
+    val rows = Seq(MediaRow(50L, "video", avi, MediaMeta(None, None, None, None))).toDS()
+    val feat = extractFeatures(rows).collect().head.feature
+    assert(feat.length == 8 && feat(0) == 3f)
+  }
+
+  test("frame sampling returns real JPEG frames for MJPEG-AVI payloads") {
+    import graft.functions.{MjpegAviTestSupport => A, VideoCodecs}
+    // 5 frames at 25 fps (40 ms apart) = 200 ms; sampling every 60 ms
+    // gives samples at 0/60/120/180 ms -> frame indices 0/1/3/4
+    val frames = (0 until 5).map(i => A.jpegFrame(4, 4, i * 0x101010))
+    val avi = A.build(frames, usPerFrame = 40000, w = 4, h = 4)
+    val rows = Seq(MediaRow(60L, "video", avi, MediaMeta(None, None, None, None))).toDS()
+    val got = sampleFrames(rows, everyMs = 60).collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_ms).toSeq == Seq(0, 60, 120, 180))
+    assert(got.zip(Seq(0, 1, 3, 4)).forall { case (fr, i) =>
+      fr.bytes.sameElements(frames(i)) }, "each sample is the frame on screen")
+    assert(got.forall(fr => graft.functions.MediaCodecs.decodeImage(fr.bytes).isDefined),
+      "every sampled frame is a decodable JPEG")
   }
 
   test("documents-derived media table has the declared schema") {
