@@ -419,4 +419,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == want, "streaming upsert view must equal the batch snapshot")
     assert(got.nonEmpty)
   }
+
+  test("state stays bounded across watermark cycles while rows keep flowing") {
+    import graft.tools.StreamBench
+    // 16 batches x 1000 rows of simulated event time (400 ms/row -> each
+    // batch spans ~6.7 simulated minutes, so the 10-min watermark cycles
+    // several times across the run); every id arrives twice
+    val nBatches = 16
+    val rowsPerBatch = 1000L
+    val dedupM = StreamBench.measure(spark,
+      EventStreams.dedupEvents(
+        StreamBench.syntheticEvents(spark, rowsPerBatch, msPerRow = 400L)
+          .withColumn("event_id", (col("event_id") / 2).cast("long")),
+        watermark = "10 minutes")
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sb_spec_dedup").toString)
+        .start(), nBatches)
+    val totalIds = dedupM.rows / 2
+    // eviction proof: ids retained at the end are far fewer than ids
+    // seen — without the watermark the dedup set grows to totalIds
+    assert(dedupM.finalStateRows > 0 && dedupM.finalStateRows < totalIds / 2,
+      s"dedup state ${dedupM.finalStateRows} of $totalIds ids: not evicting")
+    assert(dedupM.outputRows == totalIds,
+      s"dedup must emit each id once: ${dedupM.outputRows} vs $totalIds")
+
+    // bursty users: active for 20 consecutive rows (40 simulated seconds,
+    // one session), then idle ~65 simulated minutes (> the 30-min gap), so
+    // sessions close and session state turns over every cycle
+    val sessM = StreamBench.measure(spark,
+      EventStreams.sessionize(
+        StreamBench.syntheticEvents(spark, rowsPerBatch,
+          nUsers = 50, burst = 20, msPerRow = 2000L).as[Event],
+        watermarkDelay = "10 minutes")
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sb_spec_sess").toString)
+        .start(), nBatches)
+    assert(sessM.peakStateRows <= 50,
+      s"session state ${sessM.peakStateRows} exceeds the live-user bound 50")
+    assert(sessM.outputRows > 100,
+      s"only ${sessM.outputRows} sessions closed: watermark never cycled")
+    assert(sessM.rows == nBatches * rowsPerBatch)
+  }
 }
