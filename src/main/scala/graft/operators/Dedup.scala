@@ -223,7 +223,11 @@ object Dedup {
     * the corpus is too uniform for simhash to discriminate,
     * [[minhashLsh]] + [[verifiedJaccard]] measured flat (0.44) on the
     * same corpus with identical exact output, and is the default
-    * recommendation.
+    * recommendation. The Manku-width configuration is DECLARED as q114
+    * ([[simhashPairsPortable]], maxDist=3 over 15-bit chunks with a
+    * full DuckDB mechanism oracle) — the battery's at-scale simhash
+    * form; this maxDist=12 entry (q36) remains the recall-oriented
+    * small-corpus dial.
     *
     * Two further scale decisions, both invisible in the (exact) output:
     *  - chunk widths are BALANCED (width differs by at most one bit): the
@@ -328,6 +332,14 @@ object Dedup {
     V.rademacherPlanes(4, 64, seed = 7L)
 
   /** Embedding near-dup: cosine >= threshold among pairs sharing a block.
+    *
+    * SCALE NOTE: the fixed 4-plane default (16 buckets forever) makes
+    * bucket populations grow ∝ n, so candidate work is Θ(n²/16)
+    * asymptotically — fine at fixture scale, wrong at corpus scale. The
+    * documented default for large corpora is
+    * [[embeddingNearDupAdaptive]] (declared as q113): plane count grows
+    * log2(n/target), measured exponent 0.88 vs this form's hidden
+    * quadratic.
     *
     * Default blocking is the sign-LSH bucket of the vector itself — safe
     * on any corpus. Passing an explicit `blockCol` (e.g. a label) is
