@@ -37,7 +37,9 @@ object SparkEntry {
     * round-3 session appends three more (prefix-filter similarity join,
     * iterative integer k-means, the q100 end-to-end pipeline); the
     * "total" metric therefore covers 21 queries from then on — compare
-    * per-query across rounds, never totals. */
+    * per-query across rounds, never totals. Round 5 appends the two
+    * declared at-scale near-dup forms (adaptive-plane embedding
+    * near-dup, Manku-width simhash) → 23 queries. */
   def headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q07_multi_join",
     "q10_argmax_window", "q13_hindex", "q19_running_sum",
@@ -45,5 +47,6 @@ object SparkEntry {
     "q33_dedup_exact", "q38_knn_bruteforce", "q42_asof_join",
     "q40_embed_neardup", "q44_dedup_clusters", "q50_contamination",
     "q54_pack_shards", "q68_pagerank", "q74_triangles",
-    "q97_prefix_join", "q99_kmeans", "q100_pipeline_e2e")
+    "q97_prefix_join", "q99_kmeans", "q100_pipeline_e2e",
+    "q113_embed_neardup_adaptive", "q114_simhash_manku")
 }

