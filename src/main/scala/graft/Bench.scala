@@ -97,6 +97,9 @@ object Bench {
       val p50 = if (anyOk) okTimes((okTimes.size - 1) / 2) else -1.0
       (name, anyOk, p50, runs.map(_._2), runs.map(_._3))
     }
+    // one trailing sentinel so the LAST measured run is bracketed too —
+    // a stall confined to it would otherwise be structurally invisible
+    val trailing = sentinel()
     val qs = results.map { case (k, _, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val raws = results.map { case (k, _, _, r, _) =>
@@ -106,25 +109,33 @@ object Bench {
       .mkString("{", ",", "}")
     val allOk = results.forall(_._2)
     val total = results.filter(_._2).map(_._3).sum
-    // Per-query sentinel medians + the stall verdict. A query's timing is
-    // suspect when the sentinel runs bracketing it ran >= 2× the session
-    // floor; the artifact self-flags instead of lying (VERDICT r4).
-    val allSentinels = results.flatMap(_._5)
+    // Per-query sentinel brackets + the stall verdict. Query i's bracket
+    // is its own leading sentinels PLUS the next query's first sentinel
+    // (the trailing one for the last query) — so every measured run has
+    // a sentinel on BOTH sides. The flag uses the bracket MAX, not the
+    // median: a stall spanning only the last run(s) of a query corrupts
+    // its p50 while elevating just one or two sentinels, which a median
+    // would hide (the exact BENCH_r04 failure this mechanism exists to
+    // self-flag). MAX over min-of-2 sentinels stays jitter-resistant.
+    val allSentinels = results.flatMap(_._5) :+ trailing
     val sentFloor = allSentinels.min
-    val sentMedians = results.map { case (k, _, _, _, s) =>
-      k -> s.sorted.apply((s.size - 1) / 2)
+    val sentBrackets = results.zipWithIndex.map { case ((k, _, _, _, s), i) =>
+      val next =
+        if (i + 1 < results.size) results(i + 1)._5.head else trailing
+      k -> (s :+ next)
     }
-    // 2× the floor AND at least 250 ms over it: the stalls being detected
-    // are multi-second, so a relative-only test on a fast floor (~0.1 s)
-    // would flag ordinary scheduling jitter.
-    val suspects = sentMedians
-      .filter { case (_, v) => v >= 2.0 * sentFloor && v - sentFloor >= 0.25 }
+    // 2× the floor AND at least 500 ms over it: the stalls being detected
+    // are multi-second (17-70 s observed), so a relative-only test on a
+    // fast floor (~0.3 s) would flag ordinary scheduling jitter — the
+    // max statistic is already the sensitive side of this detector.
+    val suspects = sentBrackets
+      .filter { case (_, s) => val v = s.max; v >= 2.0 * sentFloor && v - sentFloor >= 0.5 }
       .map(_._1)
-    val sents = sentMedians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val sents = sentBrackets.map { case (k, s) => "\"" + k + "\":" + fmt(s.max) }
       .mkString("{", ",", "}")
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"raw":$raws,"ok":$oks,"all_ok":$allOk,"sentinel_floor":${fmt(sentFloor)},"sentinel_p50":$sents,"stall_suspect":$suspectJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"raw":$raws,"ok":$oks,"all_ok":$allOk,"sentinel_floor":${fmt(sentFloor)},"sentinel_max":$sents,"stall_suspect":$suspectJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
     // Final line on stdout, after spark.stop() so no executor shutdown

@@ -100,12 +100,21 @@ object TextFunctions {
     ((hv(1) * lit(16) + hv(2)) * lit(16) + hv(3)) * lit(16) + hv(4)
   }
 
+  /** Shared DuckDB generator for the portable md5-digit integer family
+    * ([[hash16Sql]]/[[hashUniformSql]]/[[hashInt32Sql]]/[[hash60Sql]]):
+    * Σ digit_i · 16^(n-i) over the first `n` md5 hex digits of `v`.
+    * `suffix` decorates each multiplier (".0" forces float terms for the
+    * uniform variant — every term and partial sum is integer-valued and
+    * < 2^48 < 2^53, so double accumulation is exact on both engines). */
+  private def md5DigitsSql(v: String, n: Int, suffix: String = ""): String =
+    (1 to n).map { i =>
+      val mult = java.math.BigInteger.valueOf(16).pow(n - i)
+      s"(instr('0123456789abcdef', substring(md5($v), $i, 1)) - 1) * $mult$suffix"
+    }.mkString(" + ")
+
   /** DuckDB twin of [[hash16]]. */
-  def hash16Sql(id: String): String = {
-    def hv(i: Int): String =
-      s"(instr('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), $i, 1)) - 1)"
-    s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)})"
-  }
+  def hash16Sql(id: String): String =
+    s"(${md5DigitsSql(s"CAST($id AS VARCHAR)", 4)})"
 
   /** Deterministic uniform in (0,1): the first 12 md5 hex digits as a
     * 48-bit integer m, mapped to (m+1)/(2^48+1). Exactly representable
@@ -117,13 +126,8 @@ object TextFunctions {
       lit(281474976710657.0) // 2^48 + 1
 
   /** DuckDB twin of [[hashUniform]]. */
-  def hashUniformSql(id: String): String = {
-    val terms = (1 to 12).map { i =>
-      val mult = math.pow(16, 12 - i).toLong
-      s"(instr('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), $i, 1)) - 1) * ${mult}.0"
-    }
-    s"(((${terms.mkString(" + ")}) + 1) / 281474976710657.0)"
-  }
+  def hashUniformSql(id: String): String =
+    s"(((${md5DigitsSql(s"CAST($id AS VARCHAR)", 12, ".0")}) + 1) / 281474976710657.0)"
 
   /** Deterministic 32-bit integer hash of a string expression (the first
     * 8 md5 hex digits) — the integer sibling of [[hashUniform]]. Values
@@ -137,13 +141,8 @@ object TextFunctions {
     conv(substring(md5(v), 1, 8), 16, 10).cast("long")
 
   /** DuckDB twin of [[hashInt32]] over a SQL string expression. */
-  def hashInt32Sql(v: String): String = {
-    val terms = (1 to 8).map { i =>
-      val mult = math.pow(16, 8 - i).toLong
-      s"(instr('0123456789abcdef', substring(md5($v), $i, 1)) - 1) * $mult"
-    }
-    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
-  }
+  def hashInt32Sql(v: String): String =
+    s"CAST(${md5DigitsSql(v, 8)} AS BIGINT)"
 
   /** Deterministic 60-bit integer hash of a string expression (the first
     * 15 md5 hex digits) — the portable simhash FEATURE hash: wide enough
@@ -156,13 +155,8 @@ object TextFunctions {
 
   /** DuckDB twin of [[hash60]]. Each term is < 15·16^14 < 2^60 and the
     * sum < 2^60, so BIGINT arithmetic is exact on both engines. */
-  def hash60Sql(v: String): String = {
-    val terms = (1 to 15).map { i =>
-      val mult = java.math.BigInteger.valueOf(16).pow(15 - i)
-      s"(instr('0123456789abcdef', substring(md5($v), $i, 1)) - 1) * $mult"
-    }
-    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
-  }
+  def hash60Sql(v: String): String =
+    s"CAST(${md5DigitsSql(v, 15)} AS BIGINT)"
 
   /** 80/10/10 split label from [[hashBucket]] (buckets 0-79 train,
     * 80-89 val, 90-99 test). */

@@ -584,8 +584,12 @@ object Dedup {
     * diagnostic first and logs its message when the corpus looks too
     * uniform for prefix filtering — the measured failure mode this
     * operator has (exponent 1.08 on the fixed-vocabulary corpus vs 0.60
-    * realistic). The guard never changes the output; pass false to skip
-    * its one extra aggregate pass. */
+    * realistic). The guard never changes the output, but it DOES make
+    * construction eager and costs two driver-blocking jobs (a distinct
+    * id count and a full shingle-explode + df aggregate — work the
+    * lazy plan will do again); pass false where the corpus shape is
+    * already known. q97 carries it from round 5 on (~0.3 s at sf0.1,
+    * noted for cross-round timing comparisons). */
   def prefixCandidates(docs: DataFrame, threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       guard: Boolean = true): DataFrame = {
@@ -658,8 +662,9 @@ object Dedup {
     * keys), returns Some(warning) recommending the minhashLsh +
     * verifiedJaccard route (measured flat at 0.44 on the same corpus,
     * identical exact output). None on corpora where prefix filtering
-    * is the right tool. Cost: one vocabulary-sized aggregate + a
-    * one-row collect. */
+    * is the right tool. Cost: two driver-blocking jobs — a distinct id
+    * count over `docs` plus a shingle-explode feeding the
+    * vocabulary-sized df aggregate — and a one-row collect. */
   def prefixFilterWarning(docs: DataFrame, n: Int = 3,
       maxP99Fraction: Double = 0.05,
       idCol: String = "doc_id", textCol: String = "text"): Option[String] = {

@@ -129,14 +129,22 @@ object Multimodal {
       if (m.kind != "video") Seq.empty
       else graft.functions.VideoCodecs.decodeAvi(m.bytes) match {
         case Some(avi) =>
-          val msPer = math.max(avi.info.microSecPerFrame / 1000, 1)
-          val dur = avi.frames.size * msPer
+          // Long arithmetic throughout: a crafted avih header can carry
+          // microSecPerFrame near 2^32, and Int dur would overflow to
+          // negative (zero frames emitted for a payload that parsed).
+          // The sample count is also capped — sampling much faster than
+          // the frame rate on a crafted long-duration header would
+          // otherwise fan one row out into millions of duplicates.
+          val msPer = math.max(avi.info.microSecPerFrame.toLong / 1000L, 1L)
+          val dur = avi.frames.size.toLong * msPer
           // every instant t = i·every with t < dur has a frame on
           // screen, so the sample count is ceil(dur / every)
-          (0 until math.max((dur + every - 1) / every, 0)).map { i =>
+          val wanted = (dur + every - 1) / every
+          val n = math.min(wanted, math.max(avi.frames.size.toLong * 4, 1024L))
+          (0L until n).map { i =>
             val ms = i * every
-            val idx = math.min(ms / msPer, avi.frames.size - 1)
-            Frame(m.media_id, i, ms, avi.frames(idx))
+            val idx = math.min(ms / msPer, avi.frames.size - 1L).toInt
+            Frame(m.media_id, i.toInt, ms.toInt, avi.frames(idx))
           }
         case None =>
           val dur = m.meta.duration_ms.getOrElse(0)

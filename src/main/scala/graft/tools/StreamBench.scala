@@ -47,6 +47,16 @@ object StreamBench {
     * Shared by the bench main and the bounded-state spec. */
   def measure(spark: SparkSession, q: StreamingQuery, nBatches: Int,
       timeoutMs: Long = 300000L): Metrics = {
+    // recentProgress is a ring buffer (spark.sql.streaming
+    // .numRecentProgressUpdates, default 100): asking for more batches
+    // than it retains would spin to the timeout and then silently
+    // measure a smaller window — fail loudly instead
+    val retained = spark.conf
+      .getOption("spark.sql.streaming.numRecentProgressUpdates")
+      .map(_.toInt).getOrElse(100)
+    require(nBatches <= retained,
+      s"nBatches $nBatches exceeds the progress retention $retained; " +
+        "raise spark.sql.streaming.numRecentProgressUpdates before the run")
     val deadline = System.currentTimeMillis() + timeoutMs
     var done = false
     while (!done && System.currentTimeMillis() < deadline) {
@@ -88,6 +98,8 @@ object StreamBench {
     val nBatches = args.lift(1).map(_.toInt).getOrElse(25)
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-streambench")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (nBatches + 10).toString)
     EventStreams.rocksDbStateStoreConf.foreach { case (k, v) => spark.conf.set(k, v) }
     import spark.implicits._
 
