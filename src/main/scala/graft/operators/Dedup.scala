@@ -155,19 +155,29 @@ object Dedup {
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** LSH band keys of [[minhashLsh]]'s candidate join — (id, sig, band,
+    * band_hash), one row per (doc, band). Factored out so the
+    * candidate-volume diagnostic ([[graft.tools.CandVol]]) measures the
+    * EXACT join keys the operator shuffles, not a reimplementation. */
+  private[graft] def minhashBandKeys(docs: DataFrame, k: Int = 16,
+      bands: Int = 4, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, k, n, idCol, textCol)
+    sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows))
+      }: _*)).as(Seq("band", "band_hash")))
+  }
+
   /** MinHash + LSH candidate pairs: band the k-row signature into `bands`
     * groups, bucket-join on (band, bandHash), estimate similarity as the
     * fraction of equal signature components. */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4, n: Int = 3,
       minEstimate: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
-    val sigs = minhashSignatures(docs, k, n, idCol, textCol)
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows))
-      }: _*)).as(Seq("band", "band_hash")))
+    val banded = minhashBandKeys(docs, k, bands, n, idCol, textCol)
     val cands = banded.select(col("band"), col("band_hash"),
         col("id").as("id_a"), col("sig").as("sig_a"))
       .join(banded.select(col("band"), col("band_hash"),
@@ -288,22 +298,31 @@ object Dedup {
     simhashChunkJoin(simhashDocsPortable(docs, idCol, textCol, n),
       maxDist, PortableSimHashBits, saltBuckets)
 
+  /** Pigeonhole chunk keys of the simhash candidate join — (id, simhash,
+    * chunk_idx, chunk), the balanced (maxDist+1)-way bit partition of the
+    * low `bits` signature bits. Factored out so [[graft.tools.CandVol]]
+    * measures the exact join keys [[simhashChunkJoin]] shuffles. */
+  private[graft] def simhashChunkKeys(sims: DataFrame, maxDist: Int,
+      bits: Int): DataFrame = {
+    val nChunks = maxDist + 1
+    val base = bits / nChunks
+    val extra = bits % nChunks // first `extra` chunks get +1 bit
+    def off(c: Int): Int = c * base + math.min(c, extra)
+    sims.select(col("id"), col("simhash"),
+      posexplode(array((0 until nChunks).map { c =>
+        val width = base + (if (c < extra) 1 else 0)
+        shiftrightunsigned(col("simhash"), off(c))
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+  }
+
   /** Shared pigeonhole chunk join over (id, simhash) signatures: balanced
     * (k+1)-chunk split of the low `bits` bits, salted bucket self-join,
     * Hamming verify before distinct. See [[simhashPairs]] for the scale
     * rationale of each step. */
   private def simhashChunkJoin(sims: DataFrame, maxDist: Int, bits: Int,
       saltBuckets: Int): DataFrame = {
-    val nChunks = maxDist + 1
-    val base = bits / nChunks
-    val extra = bits % nChunks // first `extra` chunks get +1 bit
-    def off(c: Int): Int = c * base + math.min(c, extra)
-    val chunks = sims.select(col("id"), col("simhash"),
-      posexplode(array((0 until nChunks).map { c =>
-        val width = base + (if (c < extra) 1 else 0)
-        shiftrightunsigned(col("simhash"), off(c))
-          .bitwiseAND(lit((1L << width) - 1))
-      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val chunks = simhashChunkKeys(sims, maxDist, bits)
     chunks.select(col("chunk_idx"), col("chunk"),
         col("id").as("id_a"), col("simhash").as("sim_a"),
         pmod(hash(col("id")), lit(saltBuckets)).as("salt"))
@@ -421,31 +440,8 @@ object Dedup {
       targetPerBucket: Long = 256L, maxItemsPerBlock: Long = 10000L,
       dim: Int = 64, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(targetPerBucket > 0, "targetPerBucket must be positive")
-    val n = embs.count() // bounded driver scalar; sizes the plane count
-    // exact integer ceil(log2(n / targetPerBucket)): smallest p with
-    // 2^p · targetPerBucket >= n. (An FP log could mis-round at exact
-    // powers of two, and the oracle must land on the SAME p.)
-    var p = 0
-    while (p <= MaxAdaptivePlanes && (1L << p) * targetPerBucket < n) p += 1
-    val nPlanes = math.max(4, p)
-    // lshBucket packs plane signs into an Int and the probe literals are
-    // 1 << i — both overflow silently past 30 planes. Unreachable below
-    // ~2.7e11 vectors at the default target, but this is the variant
-    // pitched for huge corpora, so fail loudly instead of corrupting
-    // buckets.
-    require(nPlanes <= MaxAdaptivePlanes,
-      s"nPlanes $nPlanes exceeds $MaxAdaptivePlanes (corpus $n rows / " +
-        s"targetPerBucket $targetPerBucket); raise targetPerBucket")
-    val planes = V.rademacherPlanes(nPlanes, dim, seed)
-    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      V.l2Norm(col(vecCol)).as("nrm"),
-      V.lshBucket(col("v"), planes).as("blk"))
-    val bounded = {
-      val hot = base.groupBy("blk").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > maxItemsPerBlock).select("blk")
-      base.join(hot, Seq("blk"), "left_anti")
-    }
+    val (bounded, nPlanes) = adaptiveBuckets(embs, targetPerBucket,
+      maxItemsPerBlock, dim, seed, idCol, vecCol)
     // side A sits in its own bucket; side B multiprobes radius 1 — a pair
     // meets iff their buckets differ in at most one plane sign
     val a = bounded.select(col("blk"), col("id").as("id_a"),
@@ -471,6 +467,42 @@ object Dedup {
     * plane signs into an Int and the multiprobe literals are `1 << i`,
     * both valid only for nPlanes <= 30. */
   val MaxAdaptivePlanes = 30
+
+  /** Bucket assignment of [[embeddingNearDupAdaptive]] — the bounded
+    * (blk, id, v, nrm) frame plus the data-sized plane count. Factored
+    * out so [[graft.tools.CandVol]] measures the exact buckets and
+    * multiprobe the operator joins on. */
+  private[graft] def adaptiveBuckets(embs: DataFrame,
+      targetPerBucket: Long = 256L, maxItemsPerBlock: Long = 10000L,
+      dim: Int = 64, seed: Long = 7L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, Int) = {
+    require(targetPerBucket > 0, "targetPerBucket must be positive")
+    val n = embs.count() // bounded driver scalar; sizes the plane count
+    // exact integer ceil(log2(n / targetPerBucket)): smallest p with
+    // 2^p · targetPerBucket >= n. (An FP log could mis-round at exact
+    // powers of two, and the oracle must land on the SAME p.)
+    var p = 0
+    while (p <= MaxAdaptivePlanes && (1L << p) * targetPerBucket < n) p += 1
+    val nPlanes = math.max(4, p)
+    // lshBucket packs plane signs into an Int and the probe literals are
+    // 1 << i — both overflow silently past 30 planes. Unreachable below
+    // ~2.7e11 vectors at the default target, but this is the variant
+    // pitched for huge corpora, so fail loudly instead of corrupting
+    // buckets.
+    require(nPlanes <= MaxAdaptivePlanes,
+      s"nPlanes $nPlanes exceeds $MaxAdaptivePlanes (corpus $n rows / " +
+        s"targetPerBucket $targetPerBucket); raise targetPerBucket")
+    val planes = V.rademacherPlanes(nPlanes, dim, seed)
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      V.l2Norm(col(vecCol)).as("nrm"),
+      V.lshBucket(col("v"), planes).as("blk"))
+    val bounded = {
+      val hot = base.groupBy("blk").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > maxItemsPerBlock).select("blk")
+      base.join(hot, Seq("blk"), "left_anti")
+    }
+    (bounded, nPlanes)
+  }
 
   /** DuckDB twin of [[embeddingNearDupAdaptive]] (default dim/seed): the
     * data-dependent plane count is the same integer scalar — the
@@ -595,21 +627,8 @@ object Dedup {
       guard: Boolean = true): DataFrame = {
     if (guard) prefixFilterWarning(docs, n, idCol = idCol, textCol = textCol)
       .foreach(log.warn(_))
-    // The downstream verifier ([[verifiedJaccard]] and the q34/q97
-    // oracles) qualifies pairs by round(J, 4) >= t, which admits true
-    // J down to t - 5e-5. Candidate pruning must therefore guarantee
-    // recall for the EFFECTIVE threshold t - 5e-5, not t — otherwise a
-    // pair with true J in [t - 5e-5, t) passes the verifier but could be
-    // pruned here. (The later 1e-9 only guards FP ceil, not rounding.)
-    val tEff = threshold - 5e-5
-    val sh = docShingles(docs, idCol, textCol, n, 0L)
-    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy("id")
-    val prefix = sh.join(dfs, Seq("shingle"))
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
-      .withColumn("n_sh", count(lit(1)).over(byDoc))
-      .filter(col("rk") <= col("n_sh") - ceil(lit(tEff) * col("n_sh") - lit(1e-9)) + lit(1))
-      .select("id", "shingle", "rk", "n_sh")
+    val prefix = prefixKeys(docs, threshold, n, idCol, textCol)
+    val tEff = threshold - 5e-5 // see prefixKeys' recall note
     // PPJoin positional filter (Xiao et al., WWW'08): when a pair first
     // meets at prefix positions (i, j), its overlap can't exceed
     // 1 + min(|A|-i, |B|-j); a qualifying pair needs overlap >=
@@ -631,6 +650,30 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= minOverlap)
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Prefix join keys of [[prefixCandidates]] — (id, shingle, rk, n_sh),
+    * one row per shingle that survives the df-ascending prefix cut.
+    * Factored out so [[graft.tools.CandVol]] measures the exact join
+    * keys the operator shuffles. The downstream verifier
+    * ([[verifiedJaccard]] and the q34/q97 oracles) qualifies pairs by
+    * round(J, 4) >= t, which admits true J down to t - 5e-5; candidate
+    * pruning must therefore guarantee recall for the EFFECTIVE threshold
+    * t - 5e-5, not t — otherwise a pair with true J in [t - 5e-5, t)
+    * passes the verifier but could be pruned here. (The 1e-9 only guards
+    * FP ceil, not rounding.) */
+  private[graft] def prefixKeys(docs: DataFrame, threshold: Double,
+      n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tEff = threshold - 5e-5
+    val sh = docShingles(docs, idCol, textCol, n, 0L)
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("id")
+    sh.join(dfs, Seq("shingle"))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .filter(col("rk") <= col("n_sh") - ceil(lit(tEff) * col("n_sh") - lit(1e-9)) + lit(1))
+      .select("id", "shingle", "rk", "n_sh")
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")

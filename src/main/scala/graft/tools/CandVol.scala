@@ -1,43 +1,165 @@
 package graft.tools
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.util.Locale
 import graft.core.{Sessions, Tables}
+import graft.operators.Dedup
 
-/** Deterministic scale diagnostic for the capped ngram-Jaccard family:
-  * the candidate-pair volume of the shingle self-join is exactly
-  * Σ_kept-shingles C(df, 2), a pure function of the corpus — so its
-  * growth across GenScale corpora measures the operator's asymptote
-  * with ZERO timing noise (this VM's scheduler stalls made the round-5
-  * q34 g1→g3 wall-clock leg read 1.43; this diagnostic reads the true
-  * candidate growth: 10.8M → 35.4M for 3× docs = exponent 1.08, vs
-  * 107M → 754M uncapped = 1.78). Reported per directory: shingle
-  * vocabulary, capped and uncapped candidate volumes (MaxShingleDf =
-  * 200, the declared q34 cap), kept postings, and the hot-shingle count
-  * the cap prunes.
+/** Deterministic scale diagnostic for the WHOLE near-dup family: each
+  * blocking scheme's candidate-pair volume is a pure function of the
+  * corpus — Σ over join keys of C(pop, 2) for the symmetric self-joins,
+  * Σ popA·popProbe for q113's one-sided multiprobe — so its growth
+  * across GenScale corpora measures each operator's asymptote with ZERO
+  * timing noise (this VM's scheduler stalls made the round-5 q34 g1→g3
+  * wall-clock leg read 1.43; the volume reads the true growth, 1.08).
   *
-  * Usage: runMain graft.tools.CandVol <dir> [dir...] */
+  * Every volume is computed from the SAME key frames the operators
+  * shuffle (Dedup.minhashBandKeys / simhashChunkKeys / prefixKeys /
+  * adaptiveBuckets — factored, not reimplemented; CandVolSpec pins each
+  * aggregate equal to the enumerated join count on the fixture corpus).
+  * Declared-query configurations throughout: q34/q44/q100's df cap,
+  * q35's 16×4 bands, q36's maxDist=12, q114's Manku maxDist=3, q97's
+  * t=0.5 prefixes, q113's targetPerBucket=256 with radius-1 multiprobe.
+  *
+  * Per-directory output also carries the q113 bucket-population stats
+  * (n_planes, mean/max pop) — the direct witness of the bounded-
+  * population invariant behind the plane-count sawtooth note in
+  * BENCH_SCALE_r05. With 2+ dirs, per-leg exponents are emitted against
+  * the corpus row-count ratio (docs for text ops, vectors for q113).
+  *
+  * Usage: runMain graft.tools.CandVol [--out=path.json] <dir> [dir...] */
 object CandVol {
+
+  /** Σ over distinct key of C(pop, 2) — the row count of an
+    * `id_a < id_b` self-equijoin on `keyCols` (each unordered same-key
+    * pair meets exactly once per shared key). */
+  def selfJoinVolume(keys: DataFrame, keyCols: Seq[String]): Long =
+    keys.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("pop"))
+      .agg(sum(col("pop") * (col("pop") - 1) / 2).cast("long"))
+      .head().getLong(0)
+
+  /** q113's asymmetric volume: side A sits in its bucket, side B lands
+    * in its own bucket plus every single-bit flip below nPlanes; the
+    * join feeds Σ_blk pop(blk) · Σ_flip pop(blk ^ flip) rows into the
+    * id/cosine filters. Bucket pops are 2^nPlanes rows — tiny. */
+  def adaptiveProbeVolume(bounded: DataFrame, nPlanes: Int): (Long, Long, Double, Long) = {
+    val pops = bounded.groupBy("blk").agg(count(lit(1)).as("pop"))
+      .select(col("blk").cast("int").as("blk"), col("pop")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val flips = 0 +: (0 until nPlanes).map(1 << _)
+    val vol = pops.iterator.map { case (blk, popA) =>
+      popA * flips.iterator.map(f => pops.getOrElse(blk ^ f, 0L)).sum
+    }.sum
+    val nVec = pops.valuesIterator.sum
+    val meanPop = if (pops.isEmpty) 0.0 else nVec.toDouble / pops.size
+    (vol, nVec, meanPop, if (pops.isEmpty) 0L else pops.valuesIterator.max)
+  }
+
+  /** All volumes for one corpus directory, keyed by metric name. */
+  def volumes(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val docs = Tables.documents(s, dir)
+    val embs = Tables.embeddings(s, dir)
+    val cap = graft.queries.TextQueries.MaxShingleDf
+
+    // q34/q44/q100 family: distinct doc-shingle postings, df cap
+    val sh = docs.select(col("doc_id").as("id"),
+      explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+    val ng = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(when(col("df") <= cap, col("df") * (col("df") - 1) / 2)
+          .otherwise(0L)).cast("long").as("cand_capped"),
+        sum(col("df") * (col("df") - 1) / 2).cast("long").as("cand_uncapped"),
+        sum(when(col("df") <= cap, col("df")).otherwise(0L))
+          .cast("long").as("postings_kept"),
+        sum(when(col("df") > cap, 1).otherwise(0)).cast("long").as("n_hot"))
+      .head()
+
+    val nDocs = docs.count()
+    val minhash = selfJoinVolume(
+      Dedup.minhashBandKeys(docs, k = 16, bands = 4, n = 3),
+      Seq("band", "band_hash"))
+    val sim36 = selfJoinVolume(
+      Dedup.simhashChunkKeys(Dedup.simhashDocs(docs), maxDist = 12,
+        bits = graft.functions.SimHash.Bits),
+      Seq("chunk_idx", "chunk"))
+    val sim114 = selfJoinVolume(
+      Dedup.simhashChunkKeys(Dedup.simhashDocsPortable(docs), maxDist = 3,
+        bits = Dedup.PortableSimHashBits),
+      Seq("chunk_idx", "chunk"))
+    val prefix = selfJoinVolume(
+      Dedup.prefixKeys(docs, threshold = 0.5), Seq("shingle"))
+    val (bounded, nPlanes) = Dedup.adaptiveBuckets(embs)
+    val (adVol, nVecs, adMean, adMax) = adaptiveProbeVolume(bounded, nPlanes)
+    System.err.println(
+      f"[candvol] $dir q113: nPlanes=$nPlanes mean_pop=$adMean%.1f max_pop=$adMax")
+    Seq(
+      ("n_docs", nDocs.toDouble),
+      ("n_vecs", nVecs.toDouble),
+      ("vocab", ng.getLong(0).toDouble),
+      ("q34_cand_capped", ng.getLong(1).toDouble),
+      ("q34_cand_uncapped", ng.getLong(2).toDouble),
+      ("postings_kept", ng.getLong(3).toDouble),
+      ("hot_shingles_pruned", ng.getLong(4).toDouble),
+      ("q35_minhash_bands", minhash.toDouble),
+      ("q36_simhash_d12", sim36.toDouble),
+      ("q114_simhash_manku", sim114.toDouble),
+      ("q97_prefix", prefix.toDouble),
+      ("q113_adaptive_probe", adVol.toDouble),
+      ("q113_n_planes", nPlanes.toDouble),
+      ("q113_mean_bucket_pop", adMean),
+      ("q113_max_bucket_pop", adMax.toDouble))
+  }
+
+  private def fmt(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+    else String.format(Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
+    val out = args.collectFirst { case a if a.startsWith("--out=") => a.drop(6) }
+    val dirs = args.filterNot(_.startsWith("--")).toSeq
+    require(dirs.nonEmpty, "usage: CandVol [--out=path.json] <dir> [dir...]")
     val s = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "candvol")
-    for (d <- args) {
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id").as("id"),
-          explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("shingle"))
-        .distinct()
-      val cap = graft.queries.TextQueries.MaxShingleDf
-      val r = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .agg(
-          count(lit(1)).as("vocab"),
-          sum(when(col("df") <= cap, col("df") * (col("df") - 1) / 2)
-            .otherwise(0L)).cast("long").as("cand_capped"),
-          sum(col("df") * (col("df") - 1) / 2).cast("long").as("cand_uncapped"),
-          sum(when(col("df") <= cap, col("df")).otherwise(0L))
-            .cast("long").as("postings_kept"),
-          sum(when(col("df") > cap, 1).otherwise(0)).cast("long").as("n_hot"))
-        .head()
-      println(s"$d vocab=${r.get(0)} cand_capped=${r.get(1)} " +
-        s"cand_uncapped=${r.get(2)} postings_kept=${r.get(3)} hot=${r.get(4)}")
+    val perDir = dirs.map(d => d -> volumes(s, d))
+    perDir.foreach { case (d, vs) =>
+      println(s"$d " + vs.map { case (k, v) => s"$k=${fmt(v)}" }.mkString(" "))
+    }
+    // per-leg volume exponents between consecutive dirs, scaled by the
+    // corpus's own row-count ratio (docs for text ops, vectors for q113)
+    val volKeys = Seq("q34_cand_capped", "q34_cand_uncapped",
+      "q35_minhash_bands", "q36_simhash_d12", "q114_simhash_manku",
+      "q97_prefix", "q113_adaptive_probe")
+    val legs = perDir.sliding(2).collect { case Seq((d1, v1), (d2, v2)) =>
+      val m1 = v1.toMap; val m2 = v2.toMap
+      val exps = volKeys.flatMap { k =>
+        val base = if (k.startsWith("q113")) "n_vecs" else "n_docs"
+        val ratio = m2(base) / m1(base)
+        for (a <- m1.get(k); b <- m2.get(k) if a > 0 && b > 0 && ratio > 1)
+          yield k -> math.log(b / a) / math.log(ratio)
+      }
+      exps.foreach { case (k, e) =>
+        System.err.println(f"[candvol] $d1 -> $d2 $k%-22s exponent=$e%5.2f")
+      }
+      (d1, d2, exps)
+    }.toSeq
+    out.foreach { path =>
+      val dirJson = perDir.map { case (d, vs) =>
+        "\"" + d + "\":" + vs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+      val legJson = legs.map { case (d1, d2, exps) =>
+        s"""{"from":"$d1","to":"$d2","exponents":""" +
+          exps.map { case (k, e) => "\"" + k + "\":" + fmt(e) }
+            .mkString("{", ",", "}") + "}"
+      }.mkString("[", ",", "]")
+      val json =
+        s"""{"metric":"candidate_volumes","what":"deterministic asymptote check: candidate-pair volume of each near-dup blocking scheme, computed from the operators' own key frames (zero timing noise); exponents are per-leg log(vol ratio)/log(corpus ratio)","dirs":$dirJson,"legs":$legJson}"""
+      Files.writeString(Paths.get(path), json + "\n")
+      println(json)
     }
     s.stop()
   }

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** The candidate-volume diagnostic is only trustworthy if its aggregate
+  * formulas equal the row counts the operators' joins actually produce —
+  * each test enumerates the join from the SAME key frame CandVol
+  * aggregates and asserts exact equality on the fixture corpus. */
+class CandVolSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, dir)
+  private lazy val embs = Tables.embeddings(spark, dir)
+
+  /** id_a < id_b self-equijoin row count on `keyCols` — the work the
+    * candidate stage feeds into its verify filters. */
+  private def enumerated(keys: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): Long = {
+    val a = keys.select(keyCols.map(col) :+ col("id").as("id_a"): _*)
+    val b = keys.select(keyCols.map(col) :+ col("id").as("id_b"): _*)
+    a.join(b, keyCols).filter(col("id_a") < col("id_b")).count()
+  }
+
+  test("minhash band volume equals the enumerated band join") {
+    val keys = Dedup.minhashBandKeys(docs, k = 16, bands = 4, n = 3)
+      .select("id", "band", "band_hash")
+    assert(CandVol.selfJoinVolume(keys, Seq("band", "band_hash")) ===
+      enumerated(keys, Seq("band", "band_hash")))
+  }
+
+  test("simhash chunk volumes equal the enumerated chunk joins (q36 + q114 widths)") {
+    val k36 = Dedup.simhashChunkKeys(Dedup.simhashDocs(docs), maxDist = 12,
+      bits = graft.functions.SimHash.Bits)
+    assert(CandVol.selfJoinVolume(k36, Seq("chunk_idx", "chunk")) ===
+      enumerated(k36, Seq("chunk_idx", "chunk")))
+    val k114 = Dedup.simhashChunkKeys(Dedup.simhashDocsPortable(docs),
+      maxDist = 3, bits = Dedup.PortableSimHashBits)
+    assert(CandVol.selfJoinVolume(k114, Seq("chunk_idx", "chunk")) ===
+      enumerated(k114, Seq("chunk_idx", "chunk")))
+  }
+
+  test("prefix volume equals the enumerated prefix join") {
+    val keys = Dedup.prefixKeys(docs, threshold = 0.5)
+    assert(CandVol.selfJoinVolume(keys, Seq("shingle")) ===
+      enumerated(keys, Seq("shingle")))
+  }
+
+  test("adaptive probe volume equals the enumerated multiprobe join") {
+    val (bounded, nPlanes) = Dedup.adaptiveBuckets(embs)
+    val (vol, nVec, _, maxPop) = CandVol.adaptiveProbeVolume(bounded, nPlanes)
+    // enumerate exactly the operator's join: side B exploded over
+    // flip 0 and each single-bit flip below nPlanes (no id filter —
+    // the volume counts rows INTO the filters)
+    val a = bounded.select(col("blk").cast("int").as("blk"))
+    val probes = array((lit(0) +: (0 until nPlanes).map(i => lit(1 << i))): _*)
+    val b = bounded
+      .select(explode(probes).as("flip"), col("blk"))
+      .select(expr("int(blk) ^ int(flip)").cast("int").as("blk"))
+    assert(vol === a.join(b, Seq("blk")).count())
+    assert(nVec === embs.count()) // nothing over maxItemsPerBlock here
+    assert(maxPop <= 10000L)
+  }
+}
