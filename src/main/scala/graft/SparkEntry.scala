@@ -39,7 +39,7 @@ object SparkEntry {
     * "total" metric therefore covers 21 queries from then on — compare
     * per-query across rounds, never totals. Round 5 appends the two
     * declared at-scale near-dup forms (adaptive-plane embedding
-    * near-dup, Manku-width simhash) → 23 queries. */
+    * near-dup, Manku-width simhash) and SemDeDup → 24 queries. */
   def headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q07_multi_join",
     "q10_argmax_window", "q13_hindex", "q19_running_sum",
@@ -48,5 +48,6 @@ object SparkEntry {
     "q40_embed_neardup", "q44_dedup_clusters", "q50_contamination",
     "q54_pack_shards", "q68_pagerank", "q74_triangles",
     "q97_prefix_join", "q99_kmeans", "q100_pipeline_e2e",
-    "q113_embed_neardup_adaptive", "q114_simhash_manku")
+    "q113_embed_neardup_adaptive", "q114_simhash_manku",
+    "q115_semantic_dedup")
 }

@@ -112,32 +112,47 @@ object VectorQueries {
     * (no join, no shuffle) and each iteration costs exactly one
     * (cid, component) aggregate of k×dim rows. The corpus shuffles
     * nothing but pre-combined partial sums, at any corpus size. */
-  def q99Kmeans(s: SparkSession, d: String): DataFrame = {
-    val q = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        V.quantize(col("embedding"), V.quantScale(col("embedding"))).as("qv"))
-    def distTo(cv: Array[Long]): Column =
-      aggregate(
-        zip_with(col("qv"), typedlit(cv.toSeq),
-          (a, b) => (a.cast("long") - b) * (a.cast("long") - b)),
-        lit(0L), (acc, x) => acc + x)
-    def assigned(cents: Seq[(Int, Array[Long])]): DataFrame = {
-      val scored = cents.map { case (cid, cv) =>
-        struct(distTo(cv).as("dist"), lit(cid).as("cid"))
-      }
-      q.withColumn("m", array_min(array(scored: _*)))
-        .select(col("vec_id"), col("qv"),
-          col("m.cid").as("cid"), col("m.dist").as("dist"))
+  /** (vec_id, qv) — the int8-quantized corpus the Lloyd machinery runs
+    * on (shared by q99 and q115). */
+  private def quantizedFrame(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      V.quantize(col("embedding"), V.quantScale(col("embedding"))).as("qv"))
+
+  private def distTo(cv: Array[Long]): Column =
+    aggregate(
+      zip_with(col("qv"), typedlit(cv.toSeq),
+        (a, b) => (a.cast("long") - b) * (a.cast("long") - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Nearest-centroid assignment (ties toward the lower cid): a narrow
+    * map over the corpus — centroids are injected as literals, so no
+    * join and no shuffle. */
+  private def assignedTo(q: DataFrame,
+      cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val scored = cents.map { case (cid, cv) =>
+      struct(distTo(cv).as("dist"), lit(cid).as("cid"))
     }
-    var cents: Seq[(Int, Array[Long])] = q.filter(col("vec_id") < KmK)
+    q.withColumn("m", array_min(array(scored: _*)))
+      .select(col("vec_id"), col("qv"),
+        col("m.cid").as("cid"), col("m.dist").as("dist"))
+  }
+
+  /** `iters` Lloyd iterations from the data-deterministic seed (the
+    * quantized vectors of vec_id 0..k-1); returns the final centroids.
+    * Centroids are k×dim numbers, driver-resident between iterations
+    * (the documented bounded collect); each iteration costs one
+    * (cid, component) aggregate. */
+  private def lloydCentroids(q: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Array[Long])] = {
+    var cents: Seq[(Int, Array[Long])] = q.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("qv"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Int](1).map(_.toLong).toArray))
       .sortBy(_._1).toSeq
-    require(cents.size == KmK,
-      s"k-means seeding needs vec_ids 0..${KmK - 1} present; found ${cents.size}")
-    for (_ <- 1 to KmIters) {
-      cents = assigned(cents)
+    require(cents.size == k,
+      s"k-means seeding needs vec_ids 0..${k - 1} present; found ${cents.size}")
+    for (_ <- 1 to iters) {
+      cents = assignedTo(q, cents)
         .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
         .groupBy("cid", "i")
         .agg(floor(sum(col("x").cast("long")).cast("double") / count(lit(1)))
@@ -149,12 +164,18 @@ object VectorQueries {
         .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1).toSeq
     }
+    cents
+  }
+
+  def q99Kmeans(s: SparkSession, d: String): DataFrame = {
+    val q = quantizedFrame(Tables.embeddings(s, d))
+    val cents = lloydCentroids(q, KmK, KmIters)
     val centroidSum = cents.map { case (cid, cv) =>
       (col("cid") === cid, lit(cv.sum))
     }.foldLeft(lit(null).cast("long")) { case (acc, (cond, v)) =>
       when(cond, v).otherwise(acc)
     }
-    assigned(cents).groupBy("cid")
+    assignedTo(q, cents).groupBy("cid")
       .agg(count(lit(1)).as("n_members"),
         sum("dist").as("inertia"),
         min("vec_id").as("min_member"))
@@ -162,8 +183,72 @@ object VectorQueries {
       .orderBy("cid")
   }
 
+  /** Cluster count / cosine threshold / per-cluster bound for
+    * [[q115SemanticDedup]]. */
+  val SemK = 16
+  val SemTau = 0.3
+  val SemMaxCluster = 4000L
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with k-means, then
+    * prune near-duplicate pairs ONLY within clusters — the quadratic
+    * pair work is confined to cluster-sized blocks instead of the whole
+    * corpus. Re-expressed with this engine's deterministic machinery:
+    *
+    *  - clustering is the q99 integer Lloyd fit ([[lloydCentroids]],
+    *    k = [[SemK]], 3 iterations) — bit-identical across engines and
+    *    partitionings, so cluster membership (and therefore the dedup
+    *    decision) is DuckDB-reproducible, unlike a float KMeans whose
+    *    assignments drift on the boundary;
+    *  - within each cluster, a vector is REMOVED when any lower-id
+    *    member of the same cluster has cosine >= [[SemTau]] with it
+    *    (the deterministic keep-one rule the dedup family uses; the
+    *    paper keeps a random/farthest-from-centroid representative —
+    *    lowest-id is the portable tie-break);
+    *  - clusters larger than [[SemMaxCluster]] are excluded from pair
+    *    work entirely (members kept), the same bound-the-worst-block
+    *    guard as embeddingNearDup.
+    *
+    * Scale shape: at corpus scale k grows ∝ n/targetClusterSize (the
+    * paper runs 50k clusters on LAION), so per-cluster populations stay
+    * bounded and total pair work is ~n · targetClusterSize — the same
+    * linear-in-n contract as q113's adaptive planes, reached through
+    * clustering instead of hashing. Assignment is a narrow map
+    * (centroid literals, no join); the only shuffles are the per-cluster
+    * aggregates and the bounded within-cluster pair join.
+    *
+    * Output: (vec_id, cid, kept) for every vector — the corpus
+    * annotated with its cluster and the keep/remove decision. */
+  def q115SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = quantizedFrame(e)
+    val cents = lloydCentroids(q, SemK, KmIters)
+    val assign = assignedTo(q, cents).select(col("vec_id"), col("cid"))
+    val base = e.select(col("vec_id"), col("embedding"))
+      .join(assign, Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("embedding").as("v"),
+        V.l2Norm(col("embedding")).as("nrm"))
+    val ok = base.groupBy("cid").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") <= SemMaxCluster).select("cid")
+    val f = base.join(ok, Seq("cid"))
+    val a = f.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = f.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val removed = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(V.cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")), 4)
+        >= SemTau)
+      .select(col("id_b").as("vec_id")).distinct()
+    base.select("vec_id", "cid")
+      .join(removed.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("is_dup").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q99_kmeans" -> (q99Kmeans _),
+    "q115_semantic_dedup" -> (q115SemanticDedup _),
     "q38_knn_bruteforce" -> (q38KnnBrute _),
     "q39_knn_lsh" -> (q39KnnLsh _),
     "q40_embed_neardup" -> (q40EmbedNearDup _),
@@ -172,11 +257,14 @@ object VectorQueries {
     "q47_embed_quantize" -> (q47EmbedQuantize _),
   )
 
-  /** DuckDB twin of [[q99Kmeans]]: the same quantization, seeding, and
-    * Lloyd iterations unrolled as CTEs (the q68 PageRank oracle
-    * technique). All arithmetic is integer-exact on both sides, so the
-    * match is bit-for-bit, not approximate. */
-  private val kmeansSql: String = {
+  /** The Lloyd machinery as unrolled DuckDB CTEs (the q68 PageRank
+    * oracle technique), parameterized by (k, iters) and shared by the
+    * q99 and q115 oracles. Emits the CTE chain from `WITH e` (double
+    * vectors) through `a{iters+1}` — the final (vec_id, cid, d)
+    * assignment — plus the intermediate `c{iters}` centroids. All
+    * arithmetic is integer-exact on both sides, so cluster membership
+    * is bit-for-bit, not approximate. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val dim = KmDim
     def dist(q: String, c: String): String =
       s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
@@ -188,8 +276,8 @@ object VectorQueries {
          |  (greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) / 127.0)) AS INTEGER)) AS qv
          |  FROM e),
          |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid,
-         |  list_transform(qv, x -> CAST(x AS BIGINT)) AS cv FROM q WHERE vec_id < $KmK)""".stripMargin
-    val iters = (1 to KmIters).map { n =>
+         |  list_transform(qv, x -> CAST(x AS BIGINT)) AS cv FROM q WHERE vec_id < $k)""".stripMargin
+    val its = (1 to iters).map { n =>
       s"""a${n}d AS (SELECT q.vec_id, q.qv, c.cid, ${dist("q", "c")} AS d
          |  FROM q CROSS JOIN c${n - 1} c),
          |a$n AS (SELECT vec_id, qv, cid, d FROM
@@ -199,14 +287,20 @@ object VectorQueries {
          |  FROM a$n CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) idx GROUP BY cid, i),
          |c$n AS (SELECT cid, list(comp ORDER BY i) AS cv FROM c${n}p GROUP BY cid)""".stripMargin
     }
-    val fin = KmIters + 1
+    val fin = iters + 1
     s"""$head,
-       |${iters.mkString(",\n")},
+       |${its.mkString(",\n")},
        |a${fin}d AS (SELECT q.vec_id, q.qv, c.cid, ${dist("q", "c")} AS d
-       |  FROM q CROSS JOIN c$KmIters c),
+       |  FROM q CROSS JOIN c$iters c),
        |a$fin AS (SELECT vec_id, cid, d FROM
        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a${fin}d)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB twin of [[q99Kmeans]]. */
+  private val kmeansSql: String = {
+    val fin = KmIters + 1
+    s"""${kmeansCtes(KmK, KmIters)},
        |cs AS (SELECT cid, CAST(list_sum(cv) AS BIGINT) AS centroid_sum FROM c$KmIters)
        |SELECT a.cid, count(*) AS n_members, CAST(sum(a.d) AS BIGINT) AS inertia,
        |  min(a.vec_id) AS min_member, cs.centroid_sum
@@ -214,8 +308,29 @@ object VectorQueries {
        |GROUP BY a.cid, cs.centroid_sum ORDER BY a.cid""".stripMargin
   }
 
+  /** DuckDB twin of [[q115SemanticDedup]]: the k=[[SemK]] Lloyd fit
+    * unrolled via [[kmeansCtes]], then the within-cluster lower-id
+    * cosine prune reproduced exactly (same round-then-compare as the
+    * Spark side). */
+  private val semanticDedupSql: String = {
+    val fin = KmIters + 1
+    s"""${kmeansCtes(SemK, KmIters)},
+       |base AS (SELECT a.vec_id, a.cid, e.v,
+       |  sqrt(list_dot_product(e.v, e.v)) AS nrm
+       |  FROM a$fin a JOIN e ON a.vec_id = e.vec_id),
+       |okc AS (SELECT cid FROM base GROUP BY cid HAVING count(*) <= $SemMaxCluster),
+       |f AS (SELECT base.* FROM base JOIN okc USING (cid)),
+       |rem AS (SELECT DISTINCT b.vec_id FROM f a JOIN f b ON a.cid = b.cid
+       |  AND a.vec_id < b.vec_id
+       |  AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $SemTau)
+       |SELECT base.vec_id, base.cid, (r.vec_id IS NULL) AS kept
+       |FROM base LEFT JOIN rem r ON base.vec_id = r.vec_id
+       |ORDER BY base.vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q99_kmeans" -> kmeansSql,
+    "q115_semantic_dedup" -> semanticDedupSql,
     "q38_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

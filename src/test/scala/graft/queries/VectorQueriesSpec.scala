@@ -64,6 +64,45 @@ class VectorQueriesSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == q.size, "every vector assigned once")
   }
 
+  test("q115 semantic dedup equals an independent in-memory SemDeDup") {
+    val q = quantized
+    val (assign, _) = lloyd(q, VectorQueries.SemK, VectorQueries.KmIters)
+    val vecs: Map[Long, Array[Double]] =
+      graft.core.Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+        .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    // mirror the engine exactly: left-to-right double fold for dot/norm,
+    // HALF_UP round(4) before the threshold compare
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    def cos4(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      BigDecimal(dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = assign.groupBy(_._2).flatMap { case (cid, m) =>
+      val members = m.keys.toSeq.sorted
+      val inPlay = members.size <= VectorQueries.SemMaxCluster
+      members.map { b =>
+        val removed = inPlay && members.exists(a =>
+          a < b && cos4(a, b) >= VectorQueries.SemTau)
+        b -> ((cid, !removed))
+      }
+    }
+    val got = VectorQueries.q115SemanticDedup(spark, d)
+      .as[(Long, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want,
+      "distributed and in-memory semantic dedup must agree exactly")
+    assert(got.values.exists(!_._2) && got.values.exists(_._2),
+      "fixture must exercise both keep and remove paths")
+    // the lowest id of every cluster is always kept (the keep-one rule)
+    assign.groupBy(_._2).foreach { case (_, m) =>
+      assert(got(m.keys.min)._2, "cluster minimum must be kept")
+    }
+  }
+
   test("q99 is invariant to shuffle partitioning (the determinism claim)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val a = VectorQueries.q99Kmeans(spark, d)
