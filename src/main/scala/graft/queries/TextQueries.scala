@@ -138,11 +138,20 @@ object TextQueries {
     * candidates come from joining only each doc's rarest
     * |d| - ceil(0.5|d|) + 1 shingles under the global df order. Oracle =
     * exact all-pairs Jaccard, so the hash-match is simultaneously a
-    * correctness proof of the prefix bound on this corpus. */
+    * correctness proof of the prefix bound on this corpus.
+    *
+    * `guard = false`: the fixture corpus's Heaps-style df distribution is
+    * known-good for prefix filtering, and the guard's two driver-blocking
+    * diagnostic jobs (distinct-id count + full shingle-df aggregate) run at
+    * plan CONSTRUCTION — inside any timed window — then the lazy plan
+    * repeats that work (measured 3.8 s → 12.9 s p50 at sf0.1 in round 5).
+    * The guard stays the library default for unknown corpora; a declared
+    * battery query on a known corpus is exactly the "shape already known"
+    * case its scaladoc carves out. */
   def q97PrefixJoin(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     Dedup.verifiedJaccard(docs,
-      Dedup.prefixCandidates(docs, threshold = 0.5),
+      Dedup.prefixCandidates(docs, threshold = 0.5, guard = false),
       threshold = 0.5)
       .orderBy("id_a", "id_b")
   }
