@@ -408,131 +408,178 @@ object Dedup {
     * bucket id, the same width-scales-with-log-n rule the simhash
     * scaladoc cites from Manku et al.
     *
-    * Measurement note (BENCH_SCALE_r05): because the plane count steps
-    * only at powers of two, the mean bucket population SAWTOOTHS in
-    * (target/2, target] as n grows — so a single short-ratio leg can
-    * read up to 1 + log_r(2) (measured 1.44 on the ratio-3 g1→g3 leg,
-    * where the population legitimately grew 156→234 inside the ≤256
-    * bound) while the per-row work stays bounded by targetPerBucket
-    * FOREVER. The wider ratio-10 leg reads the trend (~1.1, the
-    * multiprobe's log factor); judge the operator by the bound and the
-    * wide leg, not one step of the sawtooth.
+    * EVEN STEPPING (round 6; kills the round-5 sawtooth): a pure
+    * power-of-two bucket count makes the mean population sawtooth in
+    * (target/2, target] — one short measurement leg read 1.44 in
+    * BENCH_SCALE_r05 purely from the population step. Instead the
+    * bucket count is B = max(16, ceil(n/target)), stepping by ONE: with
+    * p = floor(log2 B) and m = B − 2^p, the scheme computes p+1 plane
+    * signs and MERGES the top-plane split for low-bit prefixes >= m
+    * (eff = low < m ? low | top<<p : low), yielding exactly 2m split +
+    * (2^p − m) merged = B buckets. This is a locality-preserving
+    * coarsening of the (p+1)-plane bucket, so LSH semantics are intact,
+    * and per-row candidate work ripples within [0.5, 0.5625]·target —
+    * a 12.5% ripple instead of 2× — at EVERY n.
     *
     * More planes cost recall (a cosine-θ pair agrees per plane with
     * prob 1 − θ/π), so candidates are MULTIPROBED at Hamming radius 1:
-    * side B lands in its own bucket plus every single-bit flip, and a
-    * pair meets whenever their buckets differ in ≤1 plane. For planted
-    * near-identical pairs (cos ≥ 0.99, θ ≈ 8°) recall is ~0.95 at 8
-    * planes (pinned in DedupSpec); radius and planes are the documented
-    * recall/cost dials. Output is EXACT on the candidates found: same
-    * per-bucket bound and verified cosine as [[embeddingNearDup]].
+    * side B lands in its own effective bucket plus the coarsening of
+    * every single-plane flip, and a pair meets whenever their p+1 plane
+    * signs differ in ≤1 plane (flipping the merged top plane is the
+    * identity on the effective bucket, so merged regions are strictly
+    * MORE permissive). For planted near-identical pairs (cos ≥ 0.99,
+    * θ ≈ 8°) recall is ~0.95 at 8 planes (pinned in DedupSpec); radius
+    * and target are the documented recall/cost dials. Output is EXACT on
+    * the candidates found: same per-bucket bound and verified cosine as
+    * [[embeddingNearDup]].
     *
     * The corpus count is one driver scalar (documented bounded collect —
-    * the same class as IVF centroids); plane count therefore depends
-    * only on the DATA, never on partitioning, so results are
+    * the same class as IVF centroids); the bucket count therefore
+    * depends only on the DATA, never on partitioning, so results are
     * deterministic at any parallelism — and the q113 oracle reproduces
-    * it in DuckDB: nPlanes is one COUNT scalar subquery, the bucket is
-    * the 30-plane bucket masked to the low nPlanes bits (Rademacher
+    * it in DuckDB: B/p/m are integer scalar subqueries, the effective
+    * bucket coarsens the 30-plane bucket's low p+1 bits (Rademacher
     * plane i is seed-deterministic and independent of the family size —
     * asserted by DedupSpec's prefix pin), and the radius-1 multiprobe is
-    * an XOR-bit-flip join. */
+    * an XOR-bit-flip + coarsen join. */
   def embeddingNearDupAdaptive(embs: DataFrame, threshold: Double = 0.9,
       targetPerBucket: Long = 256L, maxItemsPerBlock: Long = 10000L,
       dim: Int = 64, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (bounded, nPlanes) = adaptiveBuckets(embs, targetPerBucket,
+    val (bounded, scheme) = adaptiveBuckets(embs, targetPerBucket,
       maxItemsPerBlock, dim, seed, idCol, vecCol)
-    // side A sits in its own bucket; side B multiprobes radius 1 — a pair
-    // meets iff their buckets differ in at most one plane sign
+    // side A sits in its effective bucket; side B multiprobes radius 1 —
+    // a pair meets iff their p+1 plane signs differ in at most one plane
     val a = bounded.select(col("blk"), col("id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
-    val probes = array((lit(0) +: (0 until nPlanes).map(i => lit(1 << i))): _*)
     val b = bounded
-      .select(explode(probes).as("flip"), col("blk"), col("id").as("id_b"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      .withColumn("blk", expr("int(blk) ^ int(flip)").cast("int"))
-      .drop("flip")
-    a.withColumn("blk", col("blk").cast("int")).join(b, Seq("blk"))
+      .select(explode(probeBuckets(col("full"), scheme)).as("blk"),
+        col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(V.cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-      // defensive only: with one-sided radius-1 probing a pair meets at
-      // most once (flip = 0 when buckets are equal, exactly one flip
-      // matches when they differ in one bit, none otherwise)
+      // defensive only: probeBuckets dedups per-row probe targets, so a
+      // pair meets at most once
       .distinct()
   }
 
   /** Plane-family cap for [[embeddingNearDupAdaptive]]: lshBucket packs
     * plane signs into an Int and the multiprobe literals are `1 << i`,
-    * both valid only for nPlanes <= 30. */
+    * both valid only for planesUsed <= 30. */
   val MaxAdaptivePlanes = 30
 
+  /** Even-stepping bucket scheme for [[embeddingNearDupAdaptive]]:
+    * `nLowPlanes` = p low planes always split; plane p (the top plane)
+    * splits only the `m` low-bit prefixes below `m`, giving exactly
+    * 2^p + m effective buckets — a bucket count that steps by ONE with
+    * the corpus instead of doubling. */
+  private[graft] case class AdaptiveScheme(nLowPlanes: Int, m: Int) {
+    require(m >= 0 && m < (1 << nLowPlanes), s"m $m out of [0, 2^$nLowPlanes)")
+    /** planes whose sign is computed per vector (p, or p+1 when m > 0) */
+    def planesUsed: Int = if (m > 0) nLowPlanes + 1 else nLowPlanes
+    def nBuckets: Int = (1 << nLowPlanes) + m
+  }
+
+  /** Locality-preserving coarsening of the (p+1)-plane bucket `full`:
+    * keep the top plane's split only where the low-bit prefix is below
+    * m. Pure bit arithmetic on driver scalars — stays in codegen. */
+  private def coarsenExpr(full: Column, s: AdaptiveScheme): Column = {
+    val low = full.bitwiseAND(lit((1 << s.nLowPlanes) - 1))
+    if (s.m == 0) low
+    else {
+      val top = shiftright(full, s.nLowPlanes).bitwiseAND(lit(1))
+      when(low < lit(s.m), low + top * lit(1 << s.nLowPlanes)).otherwise(low)
+    }
+  }
+
+  /** Side-B probe set: the coarsened bucket of `full` and of every
+    * single-plane flip, deduped per row (flipping the merged top plane —
+    * or any flip that lands in the same effective bucket — would
+    * otherwise double-count the pair AND the candidate volume). */
+  private[graft] def probeBuckets(full: Column, s: AdaptiveScheme): Column =
+    array_distinct(array(
+      (0 +: (0 until s.planesUsed).map(1 << _).toList).map(f =>
+        coarsenExpr(full.bitwiseXOR(lit(f)), s)): _*))
+
   /** Bucket assignment of [[embeddingNearDupAdaptive]] — the bounded
-    * (blk, id, v, nrm) frame plus the data-sized plane count. Factored
-    * out so [[graft.tools.CandVol]] measures the exact buckets and
-    * multiprobe the operator joins on. */
+    * (blk, full, id, v, nrm) frame plus the even-stepping scheme.
+    * Factored out so [[graft.tools.CandVol]] measures the exact buckets
+    * and multiprobe the operator joins on. `blk` is the effective
+    * (coarsened) bucket the join keys on; `full` is the raw
+    * planesUsed-bit bucket side B's probes flip. */
   private[graft] def adaptiveBuckets(embs: DataFrame,
       targetPerBucket: Long = 256L, maxItemsPerBlock: Long = 10000L,
       dim: Int = 64, seed: Long = 7L, idCol: String = "vec_id",
-      vecCol: String = "embedding"): (DataFrame, Int) = {
+      vecCol: String = "embedding"): (DataFrame, AdaptiveScheme) = {
     require(targetPerBucket > 0, "targetPerBucket must be positive")
-    val n = embs.count() // bounded driver scalar; sizes the plane count
-    // exact integer ceil(log2(n / targetPerBucket)): smallest p with
-    // 2^p · targetPerBucket >= n. (An FP log could mis-round at exact
-    // powers of two, and the oracle must land on the SAME p.)
+    val n = embs.count() // bounded driver scalar; sizes the bucket count
+    // exact integer ceil(n / target), floored at 16 buckets (4 planes) —
+    // integer arithmetic throughout so the oracle lands on the SAME
+    // B/p/m (an FP ceil could mis-round at exact multiples).
+    val nBuckets = math.max(16L, (n + targetPerBucket - 1) / targetPerBucket)
     var p = 0
-    while (p <= MaxAdaptivePlanes && (1L << p) * targetPerBucket < n) p += 1
-    val nPlanes = math.max(4, p)
+    while (p < 62 && (1L << (p + 1)) <= nBuckets) p += 1 // floor(log2 B)
     // lshBucket packs plane signs into an Int and the probe literals are
     // 1 << i — both overflow silently past 30 planes. Unreachable below
     // ~2.7e11 vectors at the default target, but this is the variant
     // pitched for huge corpora, so fail loudly instead of corrupting
     // buckets.
-    require(nPlanes <= MaxAdaptivePlanes,
-      s"nPlanes $nPlanes exceeds $MaxAdaptivePlanes (corpus $n rows / " +
-        s"targetPerBucket $targetPerBucket); raise targetPerBucket")
-    val planes = V.rademacherPlanes(nPlanes, dim, seed)
+    require(p + 1 <= MaxAdaptivePlanes,
+      s"bucket count $nBuckets needs ${p + 1} planes > $MaxAdaptivePlanes " +
+        s"(corpus $n rows / targetPerBucket $targetPerBucket); raise targetPerBucket")
+    val scheme = AdaptiveScheme(p, (nBuckets - (1L << p)).toInt)
+    val planes = V.rademacherPlanes(scheme.planesUsed, dim, seed)
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       V.l2Norm(col(vecCol)).as("nrm"),
-      V.lshBucket(col("v"), planes).as("blk"))
+      V.lshBucket(col(vecCol), planes).as("full"))
+      .withColumn("blk", coarsenExpr(col("full"), scheme))
     val bounded = {
       val hot = base.groupBy("blk").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > maxItemsPerBlock).select("blk")
       base.join(hot, Seq("blk"), "left_anti")
     }
-    (bounded, nPlanes)
+    (bounded, scheme)
   }
 
   /** DuckDB twin of [[embeddingNearDupAdaptive]] (default dim/seed): the
-    * data-dependent plane count is the same integer scalar — the
-    * smallest p with 2^p · targetPerBucket >= count(*) — the bucket is
-    * the full [[MaxAdaptivePlanes]]-plane bucket masked to the low
-    * nPlanes bits (valid because Rademacher plane i never depends on the
-    * family size — the prefix property DedupSpec pins), and side B's
-    * radius-1 multiprobe is an XOR with each single-bit flip below
-    * nPlanes. */
+    * even-stepping scheme's B/p/m are the same integer scalars
+    * (B = greatest(16, ceil_div(count(*), target)), p = floor(log2 B),
+    * m = B − 2^p), the raw bucket is the [[MaxAdaptivePlanes]]-plane
+    * bucket masked to the low p+1 bits (valid because Rademacher plane i
+    * never depends on the family size — the prefix property DedupSpec
+    * pins), the effective bucket applies the same low<m coarsening, and
+    * side B's radius-1 multiprobe XOR-flips each plane below p+1 then
+    * coarsens, deduped per row like the operator's probeBuckets. */
   def embeddingNearDupAdaptiveOracleSql(threshold: Double,
       targetPerBucket: Long = 256L, maxItemsPerBlock: Long = 10000L): String = {
     val family = V.rademacherPlanes(MaxAdaptivePlanes, 64, seed = 7L)
+    def coarsen(x: String): String =
+      s"(CASE WHEN ($x & ((CAST(1 AS BIGINT) << sc.p) - 1)) < sc.m " +
+        s"THEN ($x & ((CAST(1 AS BIGINT) << sc.p) - 1)) + ((($x >> sc.p) & 1) << sc.p) " +
+        s"ELSE ($x & ((CAST(1 AS BIGINT) << sc.p) - 1)) END)"
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |np AS (SELECT GREATEST(4, (
-       |    SELECT min(p) FROM (SELECT unnest(range(0, ${MaxAdaptivePlanes + 1})) AS p)
-       |    WHERE (CAST(1 AS BIGINT) << p) * $targetPerBucket >= (SELECT count(*) FROM e)
-       |  )) AS np),
-       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-       |  CAST(${V.lshBucketDuckDbSql(family)} AS BIGINT)
-       |    & ((CAST(1 AS BIGINT) << np.np) - 1) AS blk
-       |  FROM e, np),
+       |sc AS (
+       |  SELECT nb, p, nb - (CAST(1 AS BIGINT) << p) AS m FROM (
+       |    SELECT nb, (SELECT max(q) FROM (SELECT unnest(range(0, 31)) AS q)
+       |                WHERE (CAST(1 AS BIGINT) << q) <= nb) AS p
+       |    FROM (SELECT GREATEST(CAST(16 AS BIGINT),
+       |      ((SELECT count(*) FROM e) + $targetPerBucket - 1) // $targetPerBucket) AS nb))),
+       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, fullb, ${coarsen("fullb")} AS blk
+       |  FROM (SELECT vec_id, v, CAST(${V.lshBucketDuckDbSql(family)} AS BIGINT) AS fullb
+       |        FROM e), sc),
        |ok AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= $maxItemsPerBlock),
        |f AS (SELECT b.* FROM b JOIN ok USING (blk)),
        |flips AS (SELECT CAST(0 AS BIGINT) AS flip
        |  UNION ALL
        |  SELECT (CAST(1 AS BIGINT) << i) AS flip
-       |  FROM (SELECT unnest(range(0, $MaxAdaptivePlanes)) AS i), np WHERE i < np.np),
-       |pb AS (SELECT xor(f.blk, fl.flip) AS blk, f.vec_id, f.v, f.nrm
-       |  FROM f, flips fl)
+       |  FROM (SELECT unnest(range(0, $MaxAdaptivePlanes)) AS i), sc
+       |  WHERE i < sc.p + (CASE WHEN sc.m > 0 THEN 1 ELSE 0 END)),
+       |pbk AS (SELECT DISTINCT f.vec_id, ${coarsen("xor(f.fullb, fl.flip)")} AS blk
+       |  FROM f, flips fl, sc),
+       |pb AS (SELECT pbk.blk, f.vec_id, f.v, f.nrm FROM pbk JOIN f USING (vec_id))
        |SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
        |  round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 4) AS cos
        |FROM f a JOIN pb c ON a.blk = c.blk AND a.vec_id < c.vec_id
@@ -620,8 +667,9 @@ object Dedup {
     * construction eager and costs two driver-blocking jobs (a distinct
     * id count and a full shingle-explode + df aggregate — work the
     * lazy plan will do again); pass false where the corpus shape is
-    * already known. q97 carries it from round 5 on (~0.3 s at sf0.1,
-    * noted for cross-round timing comparisons). */
+    * already known — the declared q97 does, since the fixture corpus's
+    * df distribution is known-good (round-5 measurement: the eager guard
+    * tripled q97's benched p50). */
   def prefixCandidates(docs: DataFrame, threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       guard: Boolean = true): DataFrame = {

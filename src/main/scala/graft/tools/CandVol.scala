@@ -23,11 +23,12 @@ import graft.operators.Dedup
   * q35's 16×4 bands, q36's maxDist=12, q114's Manku maxDist=3, q97's
   * t=0.5 prefixes, q113's targetPerBucket=256 with radius-1 multiprobe.
   *
-  * Per-directory output also carries the q113 bucket-population stats
-  * (n_planes, mean/max pop) — the direct witness of the bounded-
-  * population invariant behind the plane-count sawtooth note in
-  * BENCH_SCALE_r05. With 2+ dirs, per-leg exponents are emitted against
-  * the corpus row-count ratio (docs for text ops, vectors for q113).
+  * Per-directory output also carries the q113 bucket stats (planes,
+  * bucket count, mean/max pop) — the direct witness that the round-6
+  * even-stepping scheme holds populations near target at EVERY n
+  * (the round-5 power-of-two stepping let them sawtooth 2×). With 2+
+  * dirs, per-leg exponents are emitted against the corpus row-count
+  * ratio (docs for text ops, vectors for q113).
   *
   * Usage: runMain graft.tools.CandVol [--out=path.json] <dir> [dir...] */
 object CandVol {
@@ -40,21 +41,35 @@ object CandVol {
       .agg(sum(col("pop") * (col("pop") - 1) / 2).cast("long"))
       .head().getLong(0)
 
-  /** q113's asymmetric volume: side A sits in its bucket, side B lands
-    * in its own bucket plus every single-bit flip below nPlanes; the
-    * join feeds Σ_blk pop(blk) · Σ_flip pop(blk ^ flip) rows into the
-    * id/cosine filters. Bucket pops are 2^nPlanes rows — tiny. */
-  def adaptiveProbeVolume(bounded: DataFrame, nPlanes: Int): (Long, Long, Double, Long) = {
-    val pops = bounded.groupBy("blk").agg(count(lit(1)).as("pop"))
-      .select(col("blk").cast("int").as("blk"), col("pop")).collect()
+  /** q113's asymmetric volume: side A sits in its effective bucket,
+    * side B probes the deduped coarsenings of its raw bucket and every
+    * single-plane flip; the join feeds Σ_e popA(e) · probeRows(e) rows
+    * into the id/cosine filters. Raw-bucket pops are ≤ 2^(p+1) rows —
+    * tiny — so the exact per-row probe sets are enumerable on the
+    * driver from the (fullb → count) histogram. */
+  def adaptiveProbeVolume(bounded: DataFrame,
+      scheme: Dedup.AdaptiveScheme): (Long, Long, Double, Long) = {
+    val popsFull = bounded.groupBy("full").agg(count(lit(1)).as("pop"))
+      .select(col("full").cast("int").as("full"), col("pop")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val flips = 0 +: (0 until nPlanes).map(1 << _)
-    val vol = pops.iterator.map { case (blk, popA) =>
-      popA * flips.iterator.map(f => pops.getOrElse(blk ^ f, 0L)).sum
+    def coarsen(x: Int): Int = {
+      val low = x & ((1 << scheme.nLowPlanes) - 1)
+      val top = (x >> scheme.nLowPlanes) & 1
+      if (low < scheme.m) low | (top << scheme.nLowPlanes) else low
+    }
+    val popsEff = popsFull.groupMapReduce { case (f, _) => coarsen(f) }(_._2)(_ + _)
+    val flips = 0 +: (0 until scheme.planesUsed).map(1 << _)
+    // probe rows landing in effective bucket e, from each row's DEDUPED
+    // probe set — the exact explode the operator joins
+    val probeRows = popsFull.toSeq
+      .flatMap { case (f, pop) => flips.map(fl => coarsen(f ^ fl)).distinct.map(_ -> pop) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val vol = popsEff.iterator.map { case (e, popA) =>
+      popA * probeRows.getOrElse(e, 0L)
     }.sum
-    val nVec = pops.valuesIterator.sum
-    val meanPop = if (pops.isEmpty) 0.0 else nVec.toDouble / pops.size
-    (vol, nVec, meanPop, if (pops.isEmpty) 0L else pops.valuesIterator.max)
+    val nVec = popsFull.valuesIterator.sum
+    val meanPop = if (popsEff.isEmpty) 0.0 else nVec.toDouble / popsEff.size
+    (vol, nVec, meanPop, if (popsEff.isEmpty) 0L else popsEff.valuesIterator.max)
   }
 
   /** All volumes for one corpus directory, keyed by metric name. */
@@ -92,10 +107,11 @@ object CandVol {
       Seq("chunk_idx", "chunk"))
     val prefix = selfJoinVolume(
       Dedup.prefixKeys(docs, threshold = 0.5), Seq("shingle"))
-    val (bounded, nPlanes) = Dedup.adaptiveBuckets(embs)
-    val (adVol, nVecs, adMean, adMax) = adaptiveProbeVolume(bounded, nPlanes)
+    val (bounded, scheme) = Dedup.adaptiveBuckets(embs)
+    val (adVol, nVecs, adMean, adMax) = adaptiveProbeVolume(bounded, scheme)
     System.err.println(
-      f"[candvol] $dir q113: nPlanes=$nPlanes mean_pop=$adMean%.1f max_pop=$adMax")
+      f"[candvol] $dir q113: planes=${scheme.planesUsed} buckets=${scheme.nBuckets} " +
+        f"mean_pop=$adMean%.1f max_pop=$adMax")
     Seq(
       ("n_docs", nDocs.toDouble),
       ("n_vecs", nVecs.toDouble),
@@ -109,7 +125,8 @@ object CandVol {
       ("q114_simhash_manku", sim114.toDouble),
       ("q97_prefix", prefix.toDouble),
       ("q113_adaptive_probe", adVol.toDouble),
-      ("q113_n_planes", nPlanes.toDouble),
+      ("q113_n_planes", scheme.planesUsed.toDouble),
+      ("q113_n_buckets", scheme.nBuckets.toDouble),
       ("q113_mean_bucket_pop", adMean),
       ("q113_max_bucket_pop", adMax.toDouble))
   }

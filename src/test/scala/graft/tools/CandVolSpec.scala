@@ -49,18 +49,38 @@ class CandVolSpec extends SparkSpec {
   }
 
   test("adaptive probe volume equals the enumerated multiprobe join") {
-    val (bounded, nPlanes) = Dedup.adaptiveBuckets(embs)
-    val (vol, nVec, _, maxPop) = CandVol.adaptiveProbeVolume(bounded, nPlanes)
-    // enumerate exactly the operator's join: side B exploded over
-    // flip 0 and each single-bit flip below nPlanes (no id filter —
-    // the volume counts rows INTO the filters)
-    val a = bounded.select(col("blk").cast("int").as("blk"))
-    val probes = array((lit(0) +: (0 until nPlanes).map(i => lit(1 << i))): _*)
+    val (bounded, scheme) = Dedup.adaptiveBuckets(embs)
+    val (vol, nVec, _, maxPop) = CandVol.adaptiveProbeVolume(bounded, scheme)
+    // enumerate exactly the operator's join: side B exploded over its
+    // deduped coarsened probe set (no id filter — the volume counts
+    // rows INTO the filters)
+    val a = bounded.select(col("blk"))
     val b = bounded
-      .select(explode(probes).as("flip"), col("blk"))
-      .select(expr("int(blk) ^ int(flip)").cast("int").as("blk"))
+      .select(explode(Dedup.probeBuckets(col("full"), scheme)).as("blk"))
     assert(vol === a.join(b, Seq("blk")).count())
     assert(nVec === embs.count()) // nothing over maxItemsPerBlock here
     assert(maxPop <= 10000L)
+  }
+
+  test("even stepping holds bucket populations near target at every n") {
+    // synthetic gaussian corpora straddling a power-of-two boundary in
+    // bucket count: under round-5 power-of-two stepping the mean pop
+    // would sawtooth down to target/2 after the jump; even stepping
+    // keeps the bucket count at ceil(n/target) so the EXPECTED pop
+    // stays in (target-ish) band and the scheme's bucket count steps
+    // by ones, not doublings
+    val rnd = new scala.util.Random(5)
+    import spark.implicits._
+    for (n <- Seq(4000, 5000, 6000, 8200)) {
+      val embs = (0 until n)
+        .map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), 0))
+        .toDF("vec_id", "embedding", "label")
+      val (_, scheme) = Dedup.adaptiveBuckets(embs, targetPerBucket = 256L)
+      assert(scheme.nBuckets === math.max(16, (n + 255) / 256),
+        s"n=$n bucket count must step by one")
+      val expectedMean = n.toDouble / scheme.nBuckets
+      assert(expectedMean <= 256.0 && expectedMean > 128.0,
+        s"n=$n expected mean pop $expectedMean outside (128, 256]")
+    }
   }
 }
