@@ -183,11 +183,32 @@ object VectorQueries {
       .orderBy("cid")
   }
 
-  /** Cluster count / cosine threshold / per-cluster bound for
-    * [[q115SemanticDedup]]. */
+  /** Cluster floor / target cluster size / cosine threshold /
+    * per-cluster bound for [[q115SemanticDedup]]. */
   val SemK = 16
+  val SemTargetCluster = 1250L
   val SemTau = 0.3
   val SemMaxCluster = 4000L
+
+  /** q115's cluster count GROWS with the corpus —
+    * k = max([[SemK]], ceil(n / [[SemTargetCluster]])) — the SemDeDup
+    * paper's own scaling (50k clusters on LAION): per-cluster
+    * populations stay ~[[SemTargetCluster]], so within-cluster pair
+    * work stays ~n · target instead of n²/k with a frozen k. Integer
+    * arithmetic so the oracle lands on the SAME k (one count scalar,
+    * the q113 pattern). */
+  def semKFor(n: Long): Int =
+    math.max(SemK.toLong, (n + SemTargetCluster - 1) / SemTargetCluster).toInt
+
+  /** q115's cluster assignment — (vec_id, cid) at the declared
+    * (semKFor(n), KmIters) configuration. Factored out so
+    * [[graft.tools.CandVol]] measures the cluster-blocked pair volume
+    * from the EXACT blocks the operator joins, not a reimplementation. */
+  private[graft] def semanticClusters(e: DataFrame): DataFrame = {
+    val q = quantizedFrame(e)
+    assignedTo(q, lloydCentroids(q, semKFor(e.count()), KmIters))
+      .select(col("vec_id"), col("cid"))
+  }
 
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with k-means, then
@@ -209,23 +230,24 @@ object VectorQueries {
     *    work entirely (members kept), the same bound-the-worst-block
     *    guard as embeddingNearDup.
     *
-    * Scale shape: at corpus scale k grows ∝ n/targetClusterSize (the
-    * paper runs 50k clusters on LAION), so per-cluster populations stay
-    * bounded and total pair work is ~n · targetClusterSize — the same
-    * linear-in-n contract as q113's adaptive planes, reached through
-    * clustering instead of hashing. Assignment is a narrow map
-    * (centroid literals, no join); the only shuffles are the per-cluster
+    * Scale shape: k GROWS with the corpus ([[semKFor]]: max(SemK,
+    * ceil(n/[[SemTargetCluster]])) — the paper runs 50k clusters on
+    * LAION), so per-cluster populations stay ~SemTargetCluster and
+    * total pair work is ~n · SemTargetCluster — the same linear-in-n
+    * contract as q113's adaptive planes, reached through clustering
+    * instead of hashing; CandVol measures the blocked pair volume
+    * directly. The Lloyd fit itself costs n·k distances per iteration
+    * (the documented cost of SemDeDup's clustering step — the paper
+    * spends it on GPUs); assignment is a narrow map (centroid
+    * literals, no join), and the only shuffles are the per-cluster
     * aggregates and the bounded within-cluster pair join.
     *
     * Output: (vec_id, cid, kept) for every vector — the corpus
     * annotated with its cluster and the keep/remove decision. */
   def q115SemanticDedup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val q = quantizedFrame(e)
-    val cents = lloydCentroids(q, SemK, KmIters)
-    val assign = assignedTo(q, cents).select(col("vec_id"), col("cid"))
     val base = e.select(col("vec_id"), col("embedding"))
-      .join(assign, Seq("vec_id"))
+      .join(semanticClusters(e), Seq("vec_id"))
       .select(col("cid"), col("vec_id"), col("embedding").as("v"),
         V.l2Norm(col("embedding")).as("nrm"))
     val ok = base.groupBy("cid").agg(count(lit(1)).as("cnt"))
@@ -264,7 +286,13 @@ object VectorQueries {
     * assignment — plus the intermediate `c{iters}` centroids. All
     * arithmetic is integer-exact on both sides, so cluster membership
     * is bit-for-bit, not approximate. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int): String =
+    kmeansCtesExpr(k.toString, iters)
+
+  /** [[kmeansCtes]] with the cluster count as an arbitrary SQL scalar
+    * expression — q115's data-adaptive k is a COUNT-derived scalar
+    * subquery, mirroring [[semKFor]]'s integer arithmetic exactly. */
+  private def kmeansCtesExpr(kExpr: String, iters: Int): String = {
     val dim = KmDim
     def dist(q: String, c: String): String =
       s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
@@ -276,7 +304,7 @@ object VectorQueries {
          |  (greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) / 127.0)) AS INTEGER)) AS qv
          |  FROM e),
          |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid,
-         |  list_transform(qv, x -> CAST(x AS BIGINT)) AS cv FROM q WHERE vec_id < $k)""".stripMargin
+         |  list_transform(qv, x -> CAST(x AS BIGINT)) AS cv FROM q WHERE vec_id < ($kExpr))""".stripMargin
     val its = (1 to iters).map { n =>
       s"""a${n}d AS (SELECT q.vec_id, q.qv, c.cid, ${dist("q", "c")} AS d
          |  FROM q CROSS JOIN c${n - 1} c),
@@ -308,13 +336,16 @@ object VectorQueries {
        |GROUP BY a.cid, cs.centroid_sum ORDER BY a.cid""".stripMargin
   }
 
-  /** DuckDB twin of [[q115SemanticDedup]]: the k=[[SemK]] Lloyd fit
-    * unrolled via [[kmeansCtes]], then the within-cluster lower-id
-    * cosine prune reproduced exactly (same round-then-compare as the
-    * Spark side). */
+  /** DuckDB twin of [[q115SemanticDedup]]: the k=[[semKFor]](n) Lloyd
+    * fit unrolled via [[kmeansCtesExpr]] (k is the same integer COUNT
+    * scalar on both sides), then the within-cluster lower-id cosine
+    * prune reproduced exactly (same round-then-compare as the Spark
+    * side). */
   private val semanticDedupSql: String = {
     val fin = KmIters + 1
-    s"""${kmeansCtes(SemK, KmIters)},
+    val kExpr = s"SELECT GREATEST(CAST($SemK AS BIGINT), " +
+      s"(count(*) + ${SemTargetCluster - 1}) // $SemTargetCluster) FROM q"
+    s"""${kmeansCtesExpr(kExpr, KmIters)},
        |base AS (SELECT a.vec_id, a.cid, e.v,
        |  sqrt(list_dot_product(e.v, e.v)) AS nrm
        |  FROM a$fin a JOIN e ON a.vec_id = e.vec_id),

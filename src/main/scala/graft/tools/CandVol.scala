@@ -41,6 +41,18 @@ object CandVol {
       .agg(sum(col("pop") * (col("pop") - 1) / 2).cast("long"))
       .head().getLong(0)
 
+  /** q115's blocking frame: each surviving vector keyed by its Lloyd
+    * cluster, hot clusters (> SemMaxCluster) dropped exactly as the
+    * operator drops them before its pair join. [[selfJoinVolume]] on
+    * `cid` is then the operator's within-cluster pair count. */
+  def semanticBlockKeys(embs: DataFrame): DataFrame = {
+    val assign = graft.queries.VectorQueries.semanticClusters(embs)
+    val ok = assign.groupBy("cid").agg(count(lit(1)).as("pop"))
+      .filter(col("pop") <= graft.queries.VectorQueries.SemMaxCluster)
+      .select("cid")
+    assign.join(ok, Seq("cid")).select(col("vec_id").as("id"), col("cid"))
+  }
+
   /** q113's asymmetric volume: side A sits in its effective bucket,
     * side B probes the deduped coarsenings of its raw bucket and every
     * single-plane flip; the join feeds Σ_e popA(e) · probeRows(e) rows
@@ -107,6 +119,11 @@ object CandVol {
       Seq("chunk_idx", "chunk"))
     val prefix = selfJoinVolume(
       Dedup.prefixKeys(docs, threshold = 0.5), Seq("shingle"))
+    // q115: pair work is confined to Lloyd clusters ≤ the size cap —
+    // Σ over surviving clusters of C(pop, 2), from the operator's own
+    // cluster assignment (semanticClusters — factored, not reimplemented)
+    val semVol = selfJoinVolume(semanticBlockKeys(embs), Seq("cid"))
+
     val (bounded, scheme) = Dedup.adaptiveBuckets(embs)
     val (adVol, nVecs, adMean, adMax) = adaptiveProbeVolume(bounded, scheme)
     System.err.println(
@@ -128,7 +145,8 @@ object CandVol {
       ("q113_n_planes", scheme.planesUsed.toDouble),
       ("q113_n_buckets", scheme.nBuckets.toDouble),
       ("q113_mean_bucket_pop", adMean),
-      ("q113_max_bucket_pop", adMax.toDouble))
+      ("q113_max_bucket_pop", adMax.toDouble),
+      ("q115_semantic_blocks", semVol.toDouble))
   }
 
   private def fmt(v: Double): String =
@@ -146,14 +164,15 @@ object CandVol {
       println(s"$d " + vs.map { case (k, v) => s"$k=${fmt(v)}" }.mkString(" "))
     }
     // per-leg volume exponents between consecutive dirs, scaled by the
-    // corpus's own row-count ratio (docs for text ops, vectors for q113)
+    // corpus's own row-count ratio (docs for text ops, vectors for
+    // q113/q115)
     val volKeys = Seq("q34_cand_capped", "q34_cand_uncapped",
       "q35_minhash_bands", "q36_simhash_d12", "q114_simhash_manku",
-      "q97_prefix", "q113_adaptive_probe")
+      "q97_prefix", "q113_adaptive_probe", "q115_semantic_blocks")
     val legs = perDir.sliding(2).collect { case Seq((d1, v1), (d2, v2)) =>
       val m1 = v1.toMap; val m2 = v2.toMap
       val exps = volKeys.flatMap { k =>
-        val base = if (k.startsWith("q113")) "n_vecs" else "n_docs"
+        val base = if (k.startsWith("q113") || k.startsWith("q115")) "n_vecs" else "n_docs"
         val ratio = m2(base) / m1(base)
         for (a <- m1.get(k); b <- m2.get(k) if a > 0 && b > 0 && ratio > 1)
           yield k -> math.log(b / a) / math.log(ratio)

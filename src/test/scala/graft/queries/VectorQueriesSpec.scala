@@ -66,7 +66,7 @@ class VectorQueriesSpec extends SparkSpec {
 
   test("q115 semantic dedup equals an independent in-memory SemDeDup") {
     val q = quantized
-    val (assign, _) = lloyd(q, VectorQueries.SemK, VectorQueries.KmIters)
+    val (assign, _) = lloyd(q, VectorQueries.semKFor(q.size), VectorQueries.KmIters)
     val vecs: Map[Long, Array[Double]] =
       graft.core.Tables.embeddings(spark, d)
         .select(col("vec_id"), col("embedding"))

@@ -62,6 +62,12 @@ class CandVolSpec extends SparkSpec {
     assert(maxPop <= 10000L)
   }
 
+  test("semantic-dedup block volume equals the enumerated within-cluster join") {
+    val keys = CandVol.semanticBlockKeys(embs)
+    assert(CandVol.selfJoinVolume(keys, Seq("cid")) ===
+      enumerated(keys, Seq("cid")))
+  }
+
   test("even stepping holds bucket populations near target at every n") {
     // synthetic gaussian corpora straddling a power-of-two boundary in
     // bucket count: under round-5 power-of-two stepping the mean pop
