@@ -420,6 +420,83 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  /** Event-time-ordered chunks that never split a timestamp tie group —
+    * with tie groups intact, a "0 seconds" watermark after chunk k can
+    * never late-drop a row of chunk k+1, so streaming sees EVERY row the
+    * batch twin sees and parity is exact, not approximate. */
+  private def tsChunks(sorted: IndexedSeq[Event], n: Int): Seq[IndexedSeq[Event]] = {
+    val target = math.max(1, (sorted.length + n - 1) / n)
+    val out = scala.collection.mutable.ListBuffer.empty[IndexedSeq[Event]]
+    var i = 0
+    while (i < sorted.length) {
+      var end = math.min(i + target, sorted.length)
+      while (end < sorted.length && sorted(end).ts.getTime == sorted(end - 1).ts.getTime)
+        end += 1
+      out += sorted.slice(i, end)
+      i = end
+    }
+    out.toSeq
+  }
+
+  private def sf01Events: IndexedSeq[Event] =
+    graft.core.Tables.events(spark, "/root/testdata/sf0.1")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toIndexedSeq
+
+  test("streaming tumbling counts equal batch q25 on the sf0.1 fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = sf01Events
+    val mem = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(mem.toDF(), watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("tumbling_sf01")
+      .start()
+    tsChunks(fixture, 10).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val last = fixture.last.ts.getTime
+    mem.addData(Event(-1, new Timestamp(last + 24L * 3600 * 1000), -9, "__flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tumbling_sf01")
+      .filter(col("event_type") =!= "__flush")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val want = graft.queries.Relational.q25Tumbling(spark, "/root/testdata/sf0.1")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got.size == want.size, s"${got.size} windows vs batch ${want.size}")
+    assert(got == want, "streaming tumbling output must equal batch q25 at sf0.1")
+  }
+
+  test("streaming sessionize equals batch q27 on the sf0.1 fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = sf01Events
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sessions_sf01")
+      .start()
+    tsChunks(fixture, 10).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val last = fixture.last.ts.getTime
+    mem.addData(Event(-1, new Timestamp(last + 24L * 3600 * 1000), -9, "__flush", 0.0))
+    q.processAllAvailable()
+    // event-time timeouts fire on the batch AFTER the watermark advance
+    mem.addData(Event(-2, new Timestamp(last + 25L * 3600 * 1000), -9, "__flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val got = spark.table("sessions_sf01")
+      .as[EventStreams.SessionOut].collect().toSeq
+      .filter(_.user_id >= 0)
+      .map(s => (s.user_id, fmt.format(s.session_start), s.n_events, s.session_value))
+      .sortBy(r => (r._1, r._2))
+    val want = graft.queries.Relational.q27Sessionize(spark, "/root/testdata/sf0.1")
+      .select("user_id", "session_start", "n_events", "session_value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got.size == want.size, s"${got.size} sessions vs batch ${want.size}")
+    assert(got == want, "streaming sessions must equal batch q27 at sf0.1")
+  }
+
   test("state stays bounded across watermark cycles while rows keep flowing") {
     import graft.tools.StreamBench
     // 16 batches x 1000 rows of simulated event time (400 ms/row -> each
