@@ -200,14 +200,100 @@ object VectorQueries {
   def semKFor(n: Long): Int =
     math.max(SemK.toLong, (n + SemTargetCluster - 1) / SemTargetCluster).toInt
 
+  /** Coarse branch factor: the smallest k1 with k1² >= k (integer loop —
+    * an FP sqrt could mis-round at exact squares and the oracle must
+    * land on the SAME k1). Fine branch factor is ceil(k / k1). */
+  def semK1For(k: Int): Int = {
+    var k1 = 1
+    while (k1 * k1 < k) k1 += 1
+    k1
+  }
+
   /** q115's cluster assignment — (vec_id, cid) at the declared
-    * (semKFor(n), KmIters) configuration. Factored out so
-    * [[graft.tools.CandVol]] measures the cluster-blocked pair volume
-    * from the EXACT blocks the operator joins, not a reimplementation. */
+    * configuration. TWO-LEVEL Lloyd (round 6): a coarse k1 = ceil(√k)
+    * fit over the corpus, then an independent fine k2 = ceil(k/k1) fit
+    * WITHIN each coarse cell (seeds = the cell's k2 lowest vec_ids), so
+    * assignment work is n·(k1+k2) ≈ 2n√k distances per pass instead of
+    * flat k-means' n·k — with k ∝ n that is the difference between
+    * ~n^1.5 and n² fit cost (measured: the flat fit was 46 of q115's
+    * 48 s at gen10). The first rung of the hierarchical-k-means ladder
+    * the ANN literature uses for exactly this term; deeper recursion
+    * reaches n·log n but two levels already make the fit a minority
+    * cost at every measured scale. Both levels keep the bit-exact
+    * integer Lloyd arithmetic, so the composite cluster id
+    * (ccid·k2 + fid) is engine-reproducible and the DuckDB oracle
+    * unrolls BOTH levels. Factored out so [[graft.tools.CandVol]]
+    * measures the cluster-blocked pair volume from the EXACT blocks the
+    * operator joins, not a reimplementation. */
   private[graft] def semanticClusters(e: DataFrame): DataFrame = {
+    val k = semKFor(e.count())
+    val k1 = semK1For(k)
+    val k2 = (k + k1 - 1) / k1
     val q = quantizedFrame(e)
-    assignedTo(q, lloydCentroids(q, semKFor(e.count()), KmIters))
-      .select(col("vec_id"), col("cid"))
+    // one bounded materialization (the round-5 CC pattern): the fine
+    // iterations would otherwise re-run the whole coarse fit lineage
+    // (n·k1 distances) once per iteration
+    val coarse = assignedTo(q, lloydCentroids(q, k1, KmIters))
+      .select(col("vec_id"), col("qv"), col("cid").as("ccid"))
+      .localCheckpoint()
+    val fine = lloydFine(coarse, k2, KmIters)
+    fine.select(col("vec_id"),
+      (col("ccid") * k2 + col("fid")).cast("int").as("cid"))
+  }
+
+  /** Nearest FINE centroid within each row's own coarse cell: a lazy
+    * CASE over ccid selects that cell's centroid family, so each row
+    * pays k2 distances, not k — the two-level scheme's whole point.
+    * Ties break (dist, fid) like [[assignedTo]]. */
+  private def assignedFine(coarse: DataFrame,
+      cents: Map[Int, Seq[(Int, Array[Long])]]): DataFrame = {
+    val arms = cents.toSeq.sortBy(_._1).map { case (ccid, cs) =>
+      (col("ccid") === ccid,
+        array(cs.map { case (fid, cv) =>
+          struct(distTo(cv).as("dist"), lit(fid).as("fid"))
+        }: _*))
+    }
+    val arr = arms.tail.foldLeft(when(arms.head._1, arms.head._2)) {
+      case (acc, (c, a)) => acc.when(c, a)
+    }
+    coarse.withColumn("m", array_min(arr))
+      .select(col("vec_id"), col("qv"), col("ccid"),
+        col("m.fid").as("fid"), col("m.dist").as("dist"))
+  }
+
+  /** Per-cell fine Lloyd fit: seeds are each cell's k2 lowest vec_ids
+    * (cells smaller than k2 get one centroid per member), then `iters`
+    * integer Lloyd updates keyed by (ccid, fid). Centroids are at most
+    * k1·k2 ≈ k rows of dim numbers — the same bounded driver collect as
+    * the flat fit. */
+  private def lloydFine(coarse: DataFrame, k2: Int, iters: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ccid").orderBy("vec_id")
+    def toCellMap(rows: Array[org.apache.spark.sql.Row],
+        cv: org.apache.spark.sql.Row => Array[Long]): Map[Int, Seq[(Int, Array[Long])]] =
+      rows.map(r => (r.getInt(0), r.getInt(1), cv(r)))
+        .groupBy(_._1)
+        .map { case (c, rs) => c -> rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+    var cents: Map[Int, Seq[(Int, Array[Long])]] = toCellMap(
+      coarse.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k2)
+        .select(col("ccid"), (col("rn") - 1).cast("int").as("fid"), col("qv"))
+        .collect(),
+      r => r.getSeq[Int](2).map(_.toLong).toArray)
+    for (_ <- 1 to iters) {
+      cents = toCellMap(
+        assignedFine(coarse, cents)
+          .select(col("ccid"), col("fid"), posexplode(col("qv")).as(Seq("i", "x")))
+          .groupBy("ccid", "fid", "i")
+          .agg(floor(sum(col("x").cast("long")).cast("double") / count(lit(1)))
+            .cast("long").as("comp"))
+          .groupBy("ccid", "fid")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("comp")))),
+            _.getField("comp")).as("cv"))
+          .collect(),
+        r => r.getSeq[Long](2).toArray)
+    }
+    assignedFine(coarse, cents)
   }
 
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
@@ -216,11 +302,13 @@ object VectorQueries {
     * pair work is confined to cluster-sized blocks instead of the whole
     * corpus. Re-expressed with this engine's deterministic machinery:
     *
-    *  - clustering is the q99 integer Lloyd fit ([[lloydCentroids]],
-    *    k = [[SemK]], 3 iterations) — bit-identical across engines and
-    *    partitionings, so cluster membership (and therefore the dedup
-    *    decision) is DuckDB-reproducible, unlike a float KMeans whose
-    *    assignments drift on the boundary;
+    *  - clustering is the TWO-LEVEL integer Lloyd fit
+    *    ([[semanticClusters]]: coarse ceil(√k) cells, then fine
+    *    ceil(k/k1) within each, k = [[semKFor]](n), 3 iterations per
+    *    level) — bit-identical across engines and partitionings, so
+    *    cluster membership (and therefore the dedup decision) is
+    *    DuckDB-reproducible, unlike a float KMeans whose assignments
+    *    drift on the boundary;
     *  - within each cluster, a vector is REMOVED when any lower-id
     *    member of the same cluster has cosine >= [[SemTau]] with it
     *    (the deterministic keep-one rule the dedup family uses; the
@@ -336,19 +424,78 @@ object VectorQueries {
        |GROUP BY a.cid, cs.centroid_sum ORDER BY a.cid""".stripMargin
   }
 
-  /** DuckDB twin of [[q115SemanticDedup]]: the k=[[semKFor]](n) Lloyd
-    * fit unrolled via [[kmeansCtesExpr]] (k is the same integer COUNT
-    * scalar on both sides), then the within-cluster lower-id cosine
-    * prune reproduced exactly (same round-then-compare as the Spark
-    * side). */
+  /** DuckDB twin of [[q115SemanticDedup]]: BOTH Lloyd levels unrolled —
+    * the k/k1/k2 integer scalars (same arithmetic as [[semKFor]] /
+    * [[semK1For]]), the coarse k1 fit, the per-cell fine seeds
+    * (row_number by vec_id within cell), the fine (ccid, fid)-keyed
+    * iterations, the composite cid = ccid·k2 + fid, then the
+    * within-cluster lower-id cosine prune reproduced exactly (same
+    * round-then-compare as the Spark side). */
   private val semanticDedupSql: String = {
-    val fin = KmIters + 1
-    val kExpr = s"SELECT GREATEST(CAST($SemK AS BIGINT), " +
-      s"(count(*) + ${SemTargetCluster - 1}) // $SemTargetCluster) FROM q"
-    s"""${kmeansCtesExpr(kExpr, KmIters)},
+    val dim = KmDim
+    val iters = KmIters
+    def dist(q: String, c: String): String =
+      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> ($q.qv[i] - $c.cv[i]) * ($q.qv[i] - $c.cv[i]))) AS BIGINT)"
+    val head =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, list_transform(v, x -> CAST(round(x /
+         |  (greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) / 127.0)) AS INTEGER)) AS qv
+         |  FROM e),
+         |sc AS (SELECT k, k1, (k + k1 - 1) // k1 AS k2 FROM (
+         |  SELECT k, (SELECT min(x) FROM (SELECT unnest(range(1, 4096)) AS x)
+         |             WHERE x * x >= k) AS k1
+         |  FROM (SELECT GREATEST(CAST($SemK AS BIGINT),
+         |    ((SELECT count(*) FROM q) + ${SemTargetCluster - 1}) // $SemTargetCluster) AS k))),
+         |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid,
+         |  list_transform(qv, x -> CAST(x AS BIGINT)) AS cv FROM q, sc WHERE vec_id < sc.k1)""".stripMargin
+    val coarseIts = (1 to iters).map { n =>
+      s"""a${n}d AS (SELECT q.vec_id, q.qv, c.cid, ${dist("q", "c")} AS d
+         |  FROM q CROSS JOIN c${n - 1} c),
+         |a$n AS (SELECT vec_id, qv, cid, d FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a${n}d)
+         |  WHERE rn = 1),
+         |c${n}p AS (SELECT cid, i, CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS comp
+         |  FROM a$n CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) idx GROUP BY cid, i),
+         |c$n AS (SELECT cid, list(comp ORDER BY i) AS cv FROM c${n}p GROUP BY cid)""".stripMargin
+    }
+    val cfin = iters + 1
+    val coarseFinal =
+      s"""a${cfin}d AS (SELECT q.vec_id, q.qv, c.cid, ${dist("q", "c")} AS d
+         |  FROM q CROSS JOIN c$iters c),
+         |ca AS (SELECT vec_id, qv, cid AS ccid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a${cfin}d)
+         |  WHERE rn = 1),
+         |f0 AS (SELECT ccid, CAST(rn - 1 AS INTEGER) AS fid,
+         |  list_transform(qv, x -> CAST(x AS BIGINT)) AS cv
+         |  FROM (SELECT ccid, vec_id, qv,
+         |          row_number() OVER (PARTITION BY ccid ORDER BY vec_id) AS rn FROM ca), sc
+         |  WHERE rn <= sc.k2)""".stripMargin
+    val fineIts = (1 to iters).map { n =>
+      s"""fa${n}d AS (SELECT ca.vec_id, ca.qv, ca.ccid, f.fid, ${dist("ca", "f")} AS d
+         |  FROM ca JOIN f${n - 1} f USING (ccid)),
+         |fa$n AS (SELECT vec_id, qv, ccid, fid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, fid) AS rn FROM fa${n}d)
+         |  WHERE rn = 1),
+         |f${n}p AS (SELECT ccid, fid, i, CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS comp
+         |  FROM fa$n CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) idx GROUP BY ccid, fid, i),
+         |f$n AS (SELECT ccid, fid, list(comp ORDER BY i) AS cv FROM f${n}p GROUP BY ccid, fid)""".stripMargin
+    }
+    val fineFinal =
+      s"""fa${cfin}d AS (SELECT ca.vec_id, ca.qv, ca.ccid, f.fid, ${dist("ca", "f")} AS d
+         |  FROM ca JOIN f$iters f USING (ccid)),
+         |asg AS (SELECT vec_id, CAST(ccid * sc.k2 + fid AS INTEGER) AS cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, fid) AS rn FROM fa${cfin}d), sc
+         |  WHERE rn = 1)""".stripMargin
+    s"""$head,
+       |${coarseIts.mkString(",\n")},
+       |$coarseFinal,
+       |${fineIts.mkString(",\n")},
+       |$fineFinal,
        |base AS (SELECT a.vec_id, a.cid, e.v,
        |  sqrt(list_dot_product(e.v, e.v)) AS nrm
-       |  FROM a$fin a JOIN e ON a.vec_id = e.vec_id),
+       |  FROM asg a JOIN e ON a.vec_id = e.vec_id),
        |okc AS (SELECT cid FROM base GROUP BY cid HAVING count(*) <= $SemMaxCluster),
        |f AS (SELECT base.* FROM base JOIN okc USING (cid)),
        |rem AS (SELECT DISTINCT b.vec_id FROM f a JOIN f b ON a.cid = b.cid

@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.core.Sessions
+
+/** Ad-hoc single-query timer for decomposition work: runs one declared
+  * query (or a named internal stage) N times against a data directory and
+  * prints per-run wall seconds. Bench/ScaleBench own the round artifacts;
+  * this exists for the "which stage is the time going to" question they
+  * can't answer — e.g. q115's cluster fit vs its pair join.
+  *
+  * Usage: runMain graft.tools.TimeQuery <dir> <name>[,name...] [runs]
+  * Names: any SparkEntry.queries key, plus stage probes:
+  *   q115_clusters — just the semantic-dedup Lloyd fit + assignment
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: TimeQuery <dir> <name>[,name...] [runs]")
+    val (dir, names) = (args(0), args(1).split(",").toSeq)
+    val runs = if (args.length > 2) args(2).toInt else 2
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "timequery")
+    spark.sparkContext.setLogLevel("ERROR")
+    val stages: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "q115_clusters" -> ((s, d) => graft.queries.VectorQueries.semanticClusters(
+        graft.core.Tables.embeddings(s, d))))
+    val all = graft.SparkEntry.queries ++ stages
+    names.foreach { name =>
+      val fn = all.getOrElse(name, sys.error(s"unknown query $name"))
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        println(f"[timequery] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}

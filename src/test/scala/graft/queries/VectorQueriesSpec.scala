@@ -64,9 +64,42 @@ class VectorQueriesSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == q.size, "every vector assigned once")
   }
 
+  /** In-memory twin of the engine's TWO-LEVEL clustering: coarse k1
+    * Lloyd (seeded by vec_id < k1, via [[lloyd]]), then a fine k2 fit
+    * within each coarse cell seeded by the cell's k2 lowest vec_ids;
+    * composite cid = ccid·k2 + fid. Same integer arithmetic and
+    * (dist, id) tie-breaks as the distributed path. */
+  private def twoLevelClusters(q: Map[Long, Array[Long]]): Map[Long, Int] = {
+    val k = VectorQueries.semKFor(q.size)
+    val k1 = VectorQueries.semK1For(k)
+    val k2 = (k + k1 - 1) / k1
+    val (coarse, _) = lloyd(q, k1, VectorQueries.KmIters)
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    coarse.groupBy(_._2).flatMap { case (ccid, members) =>
+      val ids = members.keys.toSeq.sorted
+      val sub = ids.map(id => id -> q(id)).toMap
+      var cents: Map[Int, Array[Long]] =
+        ids.take(k2).zipWithIndex.map { case (id, i) => i -> q(id) }.toMap
+      def assign(): Map[Long, Int] = sub.map { case (id, v) =>
+        id -> cents.toSeq.map { case (fid, cv) => (dist(v, cv), fid) }.min._2
+      }
+      for (_ <- 1 to VectorQueries.KmIters) {
+        val a = assign()
+        cents = a.groupBy(_._2).map { case (fid, ms) =>
+          val vs = ms.keys.map(sub).toSeq
+          fid -> Array.tabulate(vs.head.length) { i =>
+            math.floor(vs.map(_(i)).sum.toDouble / vs.size).toLong
+          }
+        }
+      }
+      assign().map { case (id, fid) => id -> (ccid * k2 + fid) }
+    }
+  }
+
   test("q115 semantic dedup equals an independent in-memory SemDeDup") {
     val q = quantized
-    val (assign, _) = lloyd(q, VectorQueries.semKFor(q.size), VectorQueries.KmIters)
+    val assign: Map[Long, Int] = twoLevelClusters(q)
     val vecs: Map[Long, Array[Double]] =
       graft.core.Tables.embeddings(spark, d)
         .select(col("vec_id"), col("embedding"))
