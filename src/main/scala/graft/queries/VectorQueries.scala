@@ -200,13 +200,20 @@ object VectorQueries {
   def semKFor(n: Long): Int =
     math.max(SemK.toLong, (n + SemTargetCluster - 1) / SemTargetCluster).toInt
 
-  /** Coarse branch factor: the smallest k1 with k1² >= k (integer loop —
-    * an FP sqrt could mis-round at exact squares and the oracle must
-    * land on the SAME k1). Fine branch factor is ceil(k / k1). */
+  /** Coarse branch factor: 1 while k sits at the [[SemK]] floor — with
+    * one coarse cell the fine fit IS the flat k-means fit (assignment
+    * to a single centroid is cid 0 regardless of its value), so small
+    * corpora keep the flat path's cost and bit-identical clusters —
+    * else the smallest k1 with k1² >= k (integer loop — an FP sqrt
+    * could mis-round at exact squares and the oracle must land on the
+    * SAME k1). Fine branch factor is ceil(k / k1). */
   def semK1For(k: Int): Int = {
-    var k1 = 1
-    while (k1 * k1 < k) k1 += 1
-    k1
+    if (k <= SemK) 1
+    else {
+      var k1 = 1
+      while (k1 * k1 < k) k1 += 1
+      k1
+    }
   }
 
   /** q115's cluster assignment — (vec_id, cid) at the declared
@@ -230,12 +237,17 @@ object VectorQueries {
     val k1 = semK1For(k)
     val k2 = (k + k1 - 1) / k1
     val q = quantizedFrame(e)
-    // one bounded materialization (the round-5 CC pattern): the fine
-    // iterations would otherwise re-run the whole coarse fit lineage
-    // (n·k1 distances) once per iteration
-    val coarse = assignedTo(q, lloydCentroids(q, k1, KmIters))
-      .select(col("vec_id"), col("qv"), col("cid").as("ccid"))
-      .localCheckpoint()
+    // k1 == 1: every vector lands in coarse cell 0 no matter what the
+    // centroid is, so skip the coarse fit (and its checkpoint) — the
+    // fine fit then equals the flat k-means fit exactly. Otherwise one
+    // bounded materialization (the round-5 CC pattern): the fine
+    // iterations would re-run the whole coarse fit lineage (n·k1
+    // distances) once per iteration.
+    val coarse =
+      if (k1 == 1) q.withColumn("ccid", lit(0))
+      else assignedTo(q, lloydCentroids(q, k1, KmIters))
+        .select(col("vec_id"), col("qv"), col("cid").as("ccid"))
+        .localCheckpoint()
     val fine = lloydFine(coarse, k2, KmIters)
     fine.select(col("vec_id"),
       (col("ccid") * k2 + col("fid")).cast("int").as("cid"))
@@ -444,8 +456,9 @@ object VectorQueries {
          |  (greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) / 127.0)) AS INTEGER)) AS qv
          |  FROM e),
          |sc AS (SELECT k, k1, (k + k1 - 1) // k1 AS k2 FROM (
-         |  SELECT k, (SELECT min(x) FROM (SELECT unnest(range(1, 4096)) AS x)
-         |             WHERE x * x >= k) AS k1
+         |  SELECT k, CASE WHEN k <= $SemK THEN CAST(1 AS BIGINT) ELSE
+         |    (SELECT min(x) FROM (SELECT unnest(range(1, 4096)) AS x)
+         |     WHERE x * x >= k) END AS k1
          |  FROM (SELECT GREATEST(CAST($SemK AS BIGINT),
          |    ((SELECT count(*) FROM q) + ${SemTargetCluster - 1}) // $SemTargetCluster) AS k))),
          |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid,
