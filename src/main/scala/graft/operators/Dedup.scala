@@ -445,15 +445,17 @@ object Dedup {
   def embeddingNearDupAdaptive(embs: DataFrame, threshold: Double = 0.9,
       targetPerBucket: Long = 256L, maxItemsPerBlock: Long = 10000L,
       dim: Int = 64, seed: Long = 7L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxProbePlanes: Int = Int.MaxValue): DataFrame = {
     val (bounded, scheme) = adaptiveBuckets(embs, targetPerBucket,
       maxItemsPerBlock, dim, seed, idCol, vecCol)
     // side A sits in its effective bucket; side B multiprobes radius 1 —
     // a pair meets iff their p+1 plane signs differ in at most one plane
+    // (in a probed plane, under the maxProbePlanes volume/recall dial)
     val a = bounded.select(col("blk"), col("id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = bounded
-      .select(explode(probeBuckets(col("full"), scheme)).as("blk"),
+      .select(explode(probeBuckets(col("full"), scheme, maxProbePlanes)).as("blk"),
         col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
@@ -497,10 +499,22 @@ object Dedup {
   /** Side-B probe set: the coarsened bucket of `full` and of every
     * single-plane flip, deduped per row (flipping the merged top plane —
     * or any flip that lands in the same effective bucket — would
-    * otherwise double-count the pair AND the candidate volume). */
-  private[graft] def probeBuckets(full: Column, s: AdaptiveScheme): Column =
+    * otherwise double-count the pair AND the candidate volume).
+    *
+    * `maxProbePlanes` caps WHICH planes are flipped: the probe count —
+    * and with it the candidate volume's log n growth term — stops
+    * growing once planesUsed exceeds the cap, at a recall cost ONLY for
+    * pairs whose single differing plane is an uncapped one (for
+    * cos >= 0.99 pairs at 10 planes and cap 8 that is ~2 of the ~30%
+    * one-diff mass, recall ~0.93 → ~0.87). The default keeps the full
+    * radius-1 contract — the declared q113 uses it, so its oracle
+    * stays exact; the cap is the documented volume/recall dial for
+    * corpora deep enough that the probe-growth term matters (CandVol
+    * measures both variants' volumes). */
+  private[graft] def probeBuckets(full: Column, s: AdaptiveScheme,
+      maxProbePlanes: Int = Int.MaxValue): Column =
     array_distinct(array(
-      (0 +: (0 until s.planesUsed).map(1 << _).toList).map(f =>
+      (0 +: (0 until math.min(s.planesUsed, maxProbePlanes)).map(1 << _).toList).map(f =>
         coarsenExpr(full.bitwiseXOR(lit(f)), s)): _*))
 
   /** Bucket assignment of [[embeddingNearDupAdaptive]] — the bounded

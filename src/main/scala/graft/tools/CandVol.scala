@@ -60,7 +60,8 @@ object CandVol {
     * tiny — so the exact per-row probe sets are enumerable on the
     * driver from the (fullb → count) histogram. */
   def adaptiveProbeVolume(bounded: DataFrame,
-      scheme: Dedup.AdaptiveScheme): (Long, Long, Double, Long) = {
+      scheme: Dedup.AdaptiveScheme,
+      maxProbePlanes: Int = Int.MaxValue): (Long, Long, Double, Long) = {
     val popsFull = bounded.groupBy("full").agg(count(lit(1)).as("pop"))
       .select(col("full").cast("int").as("full"), col("pop")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -70,7 +71,7 @@ object CandVol {
       if (low < scheme.m) low | (top << scheme.nLowPlanes) else low
     }
     val popsEff = popsFull.groupMapReduce { case (f, _) => coarsen(f) }(_._2)(_ + _)
-    val flips = 0 +: (0 until scheme.planesUsed).map(1 << _)
+    val flips = 0 +: (0 until math.min(scheme.planesUsed, maxProbePlanes)).map(1 << _)
     // probe rows landing in effective bucket e, from each row's DEDUPED
     // probe set — the exact explode the operator joins
     val probeRows = popsFull.toSeq
@@ -126,6 +127,10 @@ object CandVol {
 
     val (bounded, scheme) = Dedup.adaptiveBuckets(embs)
     val (adVol, nVecs, adMean, adMax) = adaptiveProbeVolume(bounded, scheme)
+    // the probe-plane cap dial (Dedup.probeBuckets maxProbePlanes=8):
+    // volume with the probe-growth term frozen — the <=1.1-exponent
+    // configuration, at the documented recall cost on deep corpora
+    val (adVolCap, _, _, _) = adaptiveProbeVolume(bounded, scheme, 8)
     System.err.println(
       f"[candvol] $dir q113: planes=${scheme.planesUsed} buckets=${scheme.nBuckets} " +
         f"mean_pop=$adMean%.1f max_pop=$adMax")
@@ -142,6 +147,7 @@ object CandVol {
       ("q114_simhash_manku", sim114.toDouble),
       ("q97_prefix", prefix.toDouble),
       ("q113_adaptive_probe", adVol.toDouble),
+      ("q113_probe_cap8", adVolCap.toDouble),
       ("q113_n_planes", scheme.planesUsed.toDouble),
       ("q113_n_buckets", scheme.nBuckets.toDouble),
       ("q113_mean_bucket_pop", adMean),
@@ -168,7 +174,8 @@ object CandVol {
     // q113/q115)
     val volKeys = Seq("q34_cand_capped", "q34_cand_uncapped",
       "q35_minhash_bands", "q36_simhash_d12", "q114_simhash_manku",
-      "q97_prefix", "q113_adaptive_probe", "q115_semantic_blocks")
+      "q97_prefix", "q113_adaptive_probe", "q113_probe_cap8",
+      "q115_semantic_blocks")
     val legs = perDir.sliding(2).collect { case Seq((d1, v1), (d2, v2)) =>
       val m1 = v1.toMap; val m2 = v2.toMap
       val exps = volKeys.flatMap { k =>

@@ -68,6 +68,31 @@ class CandVolSpec extends SparkSpec {
       enumerated(keys, Seq("cid")))
   }
 
+  test("probe-plane cap freezes the probe set to the capped planes' flips") {
+    import spark.implicits._
+    // a deep scheme the fixture can't reach: p = 9 low planes + a
+    // partial top plane (m = 3) -> planesUsed = 10 > the cap of 8
+    val scheme = Dedup.AdaptiveScheme(9, 3)
+    assert(scheme.planesUsed === 10)
+    def coarsen(x: Int): Int = {
+      val low = x & ((1 << 9) - 1)
+      val top = (x >> 9) & 1
+      if (low < 3) low | (top << 9) else low
+    }
+    val fulls = Seq(0, 1, 2, 5, 513, 700, 1023)
+    val got = fulls.toDF("full")
+      .select(col("full"), Dedup.probeBuckets(col("full"), scheme, 8).as("capped"),
+        Dedup.probeBuckets(col("full"), scheme).as("uncapped"))
+      .as[(Int, Seq[Int], Seq[Int])].collect()
+    got.foreach { case (full, capped, uncapped) =>
+      val wantCapped = (0 +: (0 until 8).map(1 << _)).map(f => coarsen(full ^ f)).distinct
+      val wantFull = (0 +: (0 until 10).map(1 << _)).map(f => coarsen(full ^ f)).distinct
+      assert(capped == wantCapped, s"full=$full capped probes")
+      assert(uncapped == wantFull, s"full=$full uncapped probes")
+      assert(capped.toSet.subsetOf(uncapped.toSet))
+    }
+  }
+
   test("even stepping holds bucket populations near target at every n") {
     // synthetic gaussian corpora straddling a power-of-two boundary in
     // bucket count: under round-5 power-of-two stepping the mean pop
