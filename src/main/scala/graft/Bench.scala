@@ -137,6 +137,13 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"raw":$raws,"ok":$oks,"all_ok":$allOk,"sentinel_floor":${fmt(sentFloor)},"sentinel_max":$sents,"stall_suspect":$suspectJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    // Durable history (ADVICE r5): bench_out.json is overwritten every
+    // run and the driver's archived artifact stays unparsed on rc!=0 —
+    // append every run (timestamped, including failed ones) so no
+    // session's machine-readable data is ever lost.
+    val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + json.drop(1)
+    Files.write(Paths.get("BENCH_HISTORY.jsonl"), (stamped + "\n").getBytes,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     // Final line on stdout, after spark.stop() so no executor shutdown
     // chatter can interleave behind it.

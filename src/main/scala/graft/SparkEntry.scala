@@ -39,7 +39,9 @@ object SparkEntry {
     * "total" metric therefore covers 21 queries from then on — compare
     * per-query across rounds, never totals. Round 5 appends the two
     * declared at-scale near-dup forms (adaptive-plane embedding
-    * near-dup, Manku-width simhash) and SemDeDup → 24 queries. */
+    * near-dup, Manku-width simhash) and SemDeDup → 24 queries; round 6
+    * appends the two asymptote-hardened forms (block-combination
+    * simhash, probe-capped adaptive near-dup) → 26. */
   def headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q07_multi_join",
     "q10_argmax_window", "q13_hindex", "q19_running_sum",
@@ -49,5 +51,6 @@ object SparkEntry {
     "q54_pack_shards", "q68_pagerank", "q74_triangles",
     "q97_prefix_join", "q99_kmeans", "q100_pipeline_e2e",
     "q113_embed_neardup_adaptive", "q114_simhash_manku",
-    "q115_semantic_dedup")
+    "q115_semantic_dedup", "q116_simhash_combos",
+    "q117_embed_neardup_capped")
 }

@@ -94,6 +94,33 @@ object MediaCodecs {
     }
   }
 
+  /** Perceptual difference-hash (dHash) of a decoded image: nearest-
+    * neighbor downsample to 9×8, luma per pixel (ITU-R 601 integer
+    * weights), bit (y, x) = [luma(y, x+1) > luma(y, x)] packed
+    * row-major into 64 bits. Robust to re-encode/resize/brightness
+    * shifts, flipped by crops — the standard cheap image near-dup
+    * signature; Hamming distance between dHashes ranks visual
+    * similarity, so the signature plugs straight into
+    * [[graft.operators.Dedup.hammingPairs]]'s pigeonhole join. Integer
+    * arithmetic throughout → deterministic for a given decoded raster. */
+  def dHash64(img: BufferedImage): Long = {
+    val (w, h) = (9, 8)
+    val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+    val luma = Array.tabulate(h, w) { (y, x) =>
+      val rgb = scaled.getRGB(x, y)
+      ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+    }
+    var hash = 0L
+    var bit = 0
+    for (y <- 0 until h; x <- 0 until w - 1) {
+      if (luma(y)(x + 1) > luma(y)(x)) hash |= 1L << bit
+      bit += 1
+    }
+    hash
+  }
+
   /** PCM sample statistics of a decoded audio payload. Layout (fixed
     * 7 floats): [nSamples, sampleRate, channels, mean, min, max,
     * meanAbs] over all interleaved channel samples. Supports the PCM

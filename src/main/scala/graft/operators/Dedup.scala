@@ -298,6 +298,80 @@ object Dedup {
     simhashChunkJoin(simhashDocsPortable(docs, idCol, textCol, n),
       maxDist, PortableSimHashBits, saltBuckets)
 
+  /** SimHash candidates via Manku's BLOCK-COMBINATION tables — the
+    * at-scale fix for the chunk scheme's chance-collision term. The
+    * (maxDist+1)-chunk pigeonhole ([[simhashPairsPortable]]) keys each
+    * table on ONE chunk of width bits/(maxDist+1): at maxDist=3 over 60
+    * bits that is 15 bits, so each of the 4 tables admits ~n²/2^15
+    * random agreements — a quadratic with a 2^-15 constant that CandVol
+    * measures at exponent ~2.0 and that a corpus decade beyond gen10
+    * would surface (NOTES r6 loose end). Manku et al. WWW'07 §3.1.1's
+    * production answer: split the signature into MORE blocks than
+    * maxDist and key each table on a COMBINATION of nBlocks − maxDist of
+    * them. A pair within Hamming maxDist dirties at most maxDist blocks,
+    * so some (nBlocks − maxDist)-subset of blocks is untouched on both
+    * sides and the pair still meets in that subset's table — the
+    * candidate set is exactly the Hamming ≤ maxDist pairs, same as the
+    * chunk scheme (asserted in DedupSpec), but each table's key is now
+    * (nBlocks − maxDist) blocks WIDE: the default 6 blocks of 10 bits
+    * gives C(6,3) = 20 tables keyed on 30 bits, shrinking the per-table
+    * chance-collision constant 2^15 → 2^30 (a 32768× drop) for a 5×
+    * key-row fan-out (20 vs 4 rows per doc) — precisely Manku's
+    * space-for-asymptote trade. CandVol measures both schemes' volumes
+    * side by side; the combination scheme's exponent stays ~1 even on
+    * corpora whose chunk volume has gone quadratic. */
+  def simhashPairsCombinatorial(docs: DataFrame, maxDist: Int = 3,
+      nBlocks: Int = 6, idCol: String = "doc_id", textCol: String = "text",
+      saltBuckets: Int = 16, n: Int = 3): DataFrame =
+    simhashKeyedJoin(
+      simhashComboKeys(simhashDocsPortable(docs, idCol, textCol, n),
+        maxDist, PortableSimHashBits, nBlocks),
+      "combo_idx", "combo_key", maxDist, saltBuckets)
+
+  /** All C(nBlocks, chooseK) block subsets in lexicographic order — the
+    * table index of [[simhashComboKeys]]. Factored (and kept ordered) so
+    * the q116 oracle generates the SAME tables from the same
+    * enumeration. */
+  private[graft] def simhashCombos(nBlocks: Int, chooseK: Int): Seq[Seq[Int]] =
+    (0 until nBlocks).combinations(chooseK).map(_.toSeq).toSeq
+
+  /** Balanced block boundaries of the low `bits` signature bits split
+    * `nBlocks` ways: block b covers [offset(b), offset(b)+width(b)) with
+    * widths differing by at most one (first `bits % nBlocks` blocks get
+    * the extra bit) — the same balancing rule as [[simhashChunkKeys]]. */
+  private[graft] def simhashBlockBounds(bits: Int, nBlocks: Int): Seq[(Int, Int)] = {
+    val base = bits / nBlocks
+    val extra = bits % nBlocks
+    (0 until nBlocks).map(b => (b * base + math.min(b, extra),
+      base + (if (b < extra) 1 else 0)))
+  }
+
+  /** Combination-table keys of [[simhashPairsCombinatorial]] — (id,
+    * simhash, combo_idx, combo_key): for each of the C(nBlocks,
+    * nBlocks−maxDist) block subsets, the chosen blocks' bits packed
+    * consecutively into one Long. Factored out so
+    * [[graft.tools.CandVol]] measures the exact join keys shuffled. */
+  private[graft] def simhashComboKeys(sims: DataFrame, maxDist: Int,
+      bits: Int, nBlocks: Int): DataFrame = {
+    require(nBlocks > maxDist,
+      s"need nBlocks > maxDist for the pigeonhole (got $nBlocks <= $maxDist)")
+    require(nBlocks <= bits, s"nBlocks $nBlocks exceeds signature bits $bits")
+    val bounds = simhashBlockBounds(bits, nBlocks)
+    val combos = simhashCombos(nBlocks, nBlocks - maxDist)
+    val keyWidth = bounds.map(_._2).max * (nBlocks - maxDist)
+    require(keyWidth <= 62, s"packed combo key would need $keyWidth bits")
+    val keyExprs = combos.map { bs =>
+      bs.foldLeft((lit(0L), 0)) { case ((acc, shift), b) =>
+        val (off, width) = bounds(b)
+        val block = shiftrightunsigned(col("simhash"), off)
+          .bitwiseAND(lit((1L << width) - 1))
+        (acc.bitwiseOR(shiftleft(block, shift)), shift + width)
+      }._1
+    }
+    sims.select(col("id"), col("simhash"),
+      posexplode(array(keyExprs: _*)).as(Seq("combo_idx", "combo_key")))
+  }
+
   /** Pigeonhole chunk keys of the simhash candidate join — (id, simhash,
     * chunk_idx, chunk), the balanced (maxDist+1)-way bit partition of the
     * low `bits` signature bits. Factored out so [[graft.tools.CandVol]]
@@ -321,15 +395,33 @@ object Dedup {
     * Hamming verify before distinct. See [[simhashPairs]] for the scale
     * rationale of each step. */
   private def simhashChunkJoin(sims: DataFrame, maxDist: Int, bits: Int,
-      saltBuckets: Int): DataFrame = {
-    val chunks = simhashChunkKeys(sims, maxDist, bits)
-    chunks.select(col("chunk_idx"), col("chunk"),
+      saltBuckets: Int): DataFrame =
+    simhashKeyedJoin(simhashChunkKeys(sims, maxDist, bits),
+      "chunk_idx", "chunk", maxDist, saltBuckets)
+
+  /** Hamming near-dup pairs over any PRECOMPUTED (id, simhash) signature
+    * frame — the pigeonhole chunk-table machinery behind
+    * [[simhashPairs]] exposed for signatures that don't come from text
+    * shingles (e.g. [[Multimodal.imageNearDup]]'s perceptual dHash).
+    * Same contract: exactly the Hamming ≤ maxDist pairs, salted against
+    * hot buckets. */
+  def hammingPairs(sims: DataFrame, maxDist: Int, bits: Int = 64,
+      saltBuckets: Int = 16): DataFrame =
+    simhashChunkJoin(sims, maxDist, bits, saltBuckets)
+
+  /** Shared salted self-join + Hamming verify over any (id, simhash,
+    * table-idx, key) candidate frame — the join body of both the chunk
+    * ([[simhashChunkJoin]]) and block-combination
+    * ([[simhashPairsCombinatorial]]) table schemes. */
+  private def simhashKeyedJoin(keys: DataFrame, idxCol: String,
+      keyCol: String, maxDist: Int, saltBuckets: Int): DataFrame = {
+    keys.select(col(idxCol), col(keyCol),
         col("id").as("id_a"), col("simhash").as("sim_a"),
         pmod(hash(col("id")), lit(saltBuckets)).as("salt"))
-      .join(chunks.select(col("chunk_idx"), col("chunk"),
+      .join(keys.select(col(idxCol), col(keyCol),
           col("id").as("id_b"), col("simhash").as("sim_b"))
         .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*))),
-        Seq("chunk_idx", "chunk", "salt"))
+        Seq(idxCol, keyCol, "salt"))
       .filter(col("id_a") < col("id_b"))
       // verify BEFORE dedup: hamming is a per-row bit op on columns the
       // join already carries, while distinct() is a shuffle — with ~5-bit
@@ -565,10 +657,18 @@ object Dedup {
     * never depends on the family size — the prefix property DedupSpec
     * pins), the effective bucket applies the same low<m coarsening, and
     * side B's radius-1 multiprobe XOR-flips each plane below p+1 then
-    * coarsens, deduped per row like the operator's probeBuckets. */
+    * coarsens, deduped per row like the operator's probeBuckets.
+    * `maxProbePlanes` mirrors the operator's probe-cap dial: the flips
+    * CTE stops at the capped plane index (q117 declares the capped
+    * form). */
   def embeddingNearDupAdaptiveOracleSql(threshold: Double,
-      targetPerBucket: Long = 256L, maxItemsPerBlock: Long = 10000L): String = {
+      targetPerBucket: Long = 256L, maxItemsPerBlock: Long = 10000L,
+      maxProbePlanes: Int = Int.MaxValue): String = {
     val family = V.rademacherPlanes(MaxAdaptivePlanes, 64, seed = 7L)
+    val probeBound =
+      if (maxProbePlanes >= MaxAdaptivePlanes)
+        "sc.p + (CASE WHEN sc.m > 0 THEN 1 ELSE 0 END)"
+      else s"LEAST(sc.p + (CASE WHEN sc.m > 0 THEN 1 ELSE 0 END), $maxProbePlanes)"
     def coarsen(x: String): String =
       s"(CASE WHEN ($x & ((CAST(1 AS BIGINT) << sc.p) - 1)) < sc.m " +
         s"THEN ($x & ((CAST(1 AS BIGINT) << sc.p) - 1)) + ((($x >> sc.p) & 1) << sc.p) " +
@@ -590,7 +690,7 @@ object Dedup {
        |  UNION ALL
        |  SELECT (CAST(1 AS BIGINT) << i) AS flip
        |  FROM (SELECT unnest(range(0, $MaxAdaptivePlanes)) AS i), sc
-       |  WHERE i < sc.p + (CASE WHEN sc.m > 0 THEN 1 ELSE 0 END)),
+       |  WHERE i < $probeBound),
        |pbk AS (SELECT DISTINCT f.vec_id, ${coarsen("xor(f.fullb, fl.flip)")} AS blk
        |  FROM f, flips fl, sc),
        |pb AS (SELECT pbk.blk, f.vec_id, f.v, f.nrm FROM pbk JOIN f USING (vec_id))

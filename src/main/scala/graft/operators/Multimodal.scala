@@ -194,6 +194,38 @@ object Multimodal {
     })
   }
 
+  /** Perceptual dHash signatures of every DECODABLE image payload —
+    * (id, simhash) rows ready for [[graft.operators.Dedup.hammingPairs]].
+    * Same narrow batched decode shape as [[extractFeatures]]; payloads
+    * ImageIO cannot parse (and non-image rows) are dropped rather than
+    * stub-hashed — a byte-moment fake would manufacture false near-dup
+    * pairs between visually unrelated images. */
+  def imageDHashes(media: Dataset[MediaRow], batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize)(_.flatMap { m =>
+      if (m.kind != "image") None
+      else graft.functions.MediaCodecs.decodeImage(m.bytes)
+        .map(img => (m.media_id, graft.functions.MediaCodecs.dHash64(img)))
+    }).toDF("id", "simhash")
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: decode → 64-bit
+    * dHash ([[graft.functions.MediaCodecs.dHash64]]) → exactly the
+    * Hamming ≤ maxDist pairs via the simhash family's pigeonhole
+    * chunk-table join — the multimodal arm of the dedup suite, sharing
+    * the text family's scale machinery (balanced chunks, salted bucket
+    * join, verify-before-distinct) instead of reinventing it. Decode is
+    * narrow and per-partition; only (media_id, 64-bit hash) ever
+    * shuffles, so the pair stage costs the same as text simhash no
+    * matter how heavy the payloads are — the 100 TB property. maxDist
+    * ~10 of the 64 gradient bits is the usual re-encode/resize tolerance;
+    * the pair list is candidates for an exact byte- or pixel-level
+    * verify downstream, mirroring verifiedJaccard's candidates+verify
+    * split. */
+  def imageNearDup(media: Dataset[MediaRow], maxDist: Int = 10,
+      batchSize: Int = 64): DataFrame =
+    Dedup.hammingPairs(imageDHashes(media, batchSize), maxDist, bits = 64)
+
   /** Demo media table derived from the documents fixture (payload = utf-8
     * bytes), so the plumbing runs against real testdata shapes. */
   def mediaFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {

@@ -527,7 +527,33 @@ object Relational {
       .orderBy("z_cell")
   }
 
+  /** Salted skew join, DECLARED ([[graft.operators.SkewJoin]]): the
+    * engine's bounded-replication answer to hot join keys, previously
+    * proved only by ScaleBench's timed A/B/C (salted 2.03 s < plain
+    * 3.73 s at 18M rows, BENCH_SCALE_r05) — this query makes its
+    * CORRECTNESS contract a hash-checked battery member: saltedInner's
+    * result equals the plain join exactly (salting changes partitioning,
+    * never the result set), so the oracle is the PLAIN SQL join. The
+    * fact key is deliberately skewed — every 4th order's lineitems
+    * collapse onto supplier 1, giving that key ~25% of the fact side —
+    * so the salted path (per-row salt on the big side, 16× replication
+    * of the supplier dim) is genuinely exercised, not just planned. */
+  def q118SkewJoinSalted(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d).select(
+      when(pmod(col("l_orderkey"), lit(4)) === 0, lit(1L))
+        .otherwise(col("l_suppkey")).as("s_suppkey"),
+      col("l_quantity"), col("l_extendedprice"))
+    val dim = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    graft.operators.SkewJoin.saltedInner(fact, dim, Seq("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   val all: Map[String, Q] = Map(
+    "q118_skew_join_salted" -> (q118SkewJoinSalted _),
     "q63_zorder_cells" -> (q63ZOrderCells _),
     "q60_bloom_semi_join" -> (q60BloomSemiJoin _),
     "q28_pivot" -> (q28Pivot _),
@@ -568,6 +594,16 @@ object Relational {
 
   /** DuckDB twins. Same column names, same ORDER BY, same rounding. */
   val oracle: Map[String, String] = Map(
+    // the PLAIN join — saltedInner's contract is result-set equality
+    "q118_skew_join_salted" ->
+      """WITH fact AS (SELECT
+        |  CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_suppkey END AS s_suppkey,
+        |  l_quantity, l_extendedprice FROM lineitem)
+        |SELECT s_nationkey, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM fact JOIN supplier USING (s_suppkey)
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q63_zorder_cells" -> {
       val z = graft.operators.ZOrder.zKeySql(
         Seq("o_custkey", "datediff('day', DATE '1970-01-01', o_orderdate)"), 16)

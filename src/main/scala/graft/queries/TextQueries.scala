@@ -133,6 +133,26 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SimHash via Manku's block-COMBINATION tables (6 blocks of 10 bits,
+    * C(6,3) = 20 tables keyed on 30 bits) — the configuration that
+    * suppresses the last quadratic term in the simhash family: q114's
+    * 15-bit chunk tables each admit ~n²/2^15 chance collisions (CandVol
+    * reads exponent ~2.0 on that term), while a 30-bit combination key
+    * drops the constant 32768× at a 5× key fan-out (Manku et al. WWW'07
+    * §3.1.1). Same exact output as q114 — both find exactly the
+    * Hamming≤3 pairs (pigeonhole, pinned in DedupSpec), then verify with
+    * exact Jaccard — but the oracle mirrors THIS machinery: DuckDB
+    * rebuilds the 20 combination tables from the same block enumeration
+    * ([[Dedup.simhashCombos]] generates both sides), joins on
+    * (table, packed-key), Hamming-filters, and verifies. */
+  def q116SimhashCombos(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.verifiedJaccard(docs,
+      Dedup.simhashPairsCombinatorial(docs, maxDist = 3, nBlocks = 6),
+      threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Prefix-filtering near-dup join (SSJoin/AllPairs candidates +
     * exact verification): the hash-free exact counterpart to q35/q36 —
     * candidates come from joining only each doc's rarest
@@ -379,6 +399,7 @@ object TextQueries {
     "q100_pipeline_e2e" -> (q100PipelineE2e _),
     "q36_simhash_pairs" -> (q36Simhash _),
     "q114_simhash_manku" -> (q114SimhashManku _),
+    "q116_simhash_combos" -> (q116SimhashCombos _),
     "q37_rolling_fingerprint" -> (q37RollingFingerprint _),
     "q44_dedup_clusters" -> (q44DedupClusters _),
     "q48_train_split" -> (q48TrainSplit _),
@@ -516,6 +537,7 @@ object TextQueries {
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q36_simhash_pairs" -> exactJaccardSql,
     "q114_simhash_manku" -> simhashMankuSql,
+    "q116_simhash_combos" -> simhashCombosSql,
     "q37_rolling_fingerprint" ->
       "SELECT doc_id, true AS consistent FROM documents ORDER BY doc_id",
     "q44_dedup_clusters" ->
@@ -611,9 +633,13 @@ object TextQueries {
     * (By pigeonhole the chunk join finds exactly the Hamming<=3 pairs,
     * but the oracle mirrors the mechanism rather than assuming the
     * theorem.) */
-  private lazy val simhashMankuSql: String = {
-    val bits = graft.operators.Dedup.PortableSimHashBits // 60: 4 chunks x 15
-    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Shared oracle CTE chain rebuilding the portable 60-bit simhash
+    * signatures (docs → distinct shingles → md5-derived 60-bit feature
+    * hashes → per-bit ±1 sums → packed signature) — the common head of
+    * the q114 (chunk tables) and q116 (combination tables) oracles. */
+  private lazy val portableSigCtes: String = {
+    val bits = graft.operators.Dedup.PortableSimHashBits
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id,
        |  unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
        |  FROM docs WHERE len(t) >= 3),
@@ -623,13 +649,14 @@ object TextQueries {
        |  FROM hv, (SELECT unnest(range(0, $bits)) AS j) js GROUP BY doc_id, j),
        |sig AS (SELECT doc_id,
        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
-       |  FROM bs GROUP BY doc_id),
-       |ch AS (SELECT doc_id, sig, c, (sig >> CAST(15 * c AS INTEGER)) & 32767 AS chunk
-       |  FROM sig, (SELECT unnest(range(0, 4)) AS c) cs),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |  FROM bs GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Shared oracle tail: exact-Jaccard verification of a `cand(id_a,
+    * id_b)` CTE against the `sh` shingle postings — q114/q116's
+    * verifiedJaccard mirror. */
+  private lazy val verifyJaccardTail: String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |common AS (SELECT id_a, id_b, count(*) AS n_common
        |  FROM cand JOIN sh a ON a.doc_id = cand.id_a
        |  JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
@@ -639,6 +666,44 @@ object TextQueries {
        |FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
        |WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  private lazy val simhashMankuSql: String =
+    s"""WITH $portableSigCtes,
+       |ch AS (SELECT doc_id, sig, c, (sig >> CAST(15 * c AS INTEGER)) & 32767 AS chunk
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS c) cs),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |$verifyJaccardTail""".stripMargin
+
+  /** q116's oracle: the same signature mirror as q114's, but candidates
+    * come from Manku's block-COMBINATION tables — DuckDB packs, for each
+    * of the C(6,3) = 20 block subsets [[Dedup.simhashCombos]] enumerates
+    * (the SQL below is GENERATED from that same enumeration, so operator
+    * and oracle cannot drift), the chosen 10-bit blocks into one 30-bit
+    * key, unions the 20 keyed tables, joins on (table, key), and applies
+    * the Hamming≤3 filter before exact-Jaccard verification. */
+  private lazy val simhashCombosSql: String = {
+    val D = graft.operators.Dedup
+    val nBlocks = 6
+    val bounds = D.simhashBlockBounds(D.PortableSimHashBits, nBlocks)
+    val keyed = D.simhashCombos(nBlocks, nBlocks - 3).zipWithIndex.map {
+      case (bs, ci) =>
+        val (keyExpr, _) = bs.foldLeft(("CAST(0 AS BIGINT)", 0)) {
+          case ((acc, shift), b) =>
+            val (off, width) = bounds(b)
+            (s"($acc | (((sig >> $off) & ${(1L << width) - 1}) << $shift))",
+              shift + width)
+        }
+        s"SELECT doc_id, sig, $ci AS ci, $keyExpr AS k FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $portableSigCtes,
+       |keyed AS (
+       |  $keyed),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM keyed a JOIN keyed b ON a.ci = b.ci AND a.k = b.k AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |$verifyJaccardTail""".stripMargin
   }
 
   /** q34's oracle: identical to [[exactJaccardSql]] plus the

@@ -60,6 +60,28 @@ object VectorQueries {
     Dedup.embeddingNearDupAdaptive(Tables.embeddings(s, d), threshold = 0.3)
       .orderBy("id_a", "id_b")
 
+  /** Probe-plane cap of q117's declared capped near-dup form: 8 planes
+    * flipped at most, freezing the probe count — and with it the
+    * candidate volume's log n growth term — once the corpus needs more
+    * than 8 planes (CANDVOL_r06: capped volume exponent 1.07 on the
+    * g3→g10 leg vs 1.19 uncapped). */
+  val CappedProbePlanes = 8
+
+  /** q113's probe-CAPPED declared form — the ≤1.1-exponent configuration
+    * of the adaptive near-dup (NOTES r6): identical bucket scheme, but
+    * side B flips only the first [[CappedProbePlanes]] planes, so probe
+    * fan-out stops growing with the corpus at the documented recall cost
+    * on deep corpora (~0.93 → ~0.87 on cos≥0.99 pairs at 10 planes,
+    * pinned in CandVolSpec). At fixture scale the corpus needs ≤ 8
+    * planes, so the cap is inactive and q117 ≡ q113 — the oracle mirrors
+    * the cap in its flips CTE either way, so the hash compare proves the
+    * capped machinery, and CandVol/BENCH_SCALE measure where the capped
+    * volume diverges (g3/g10). */
+  def q117EmbedNearDupCapped(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupAdaptive(Tables.embeddings(s, d), threshold = 0.3,
+      maxProbePlanes = CappedProbePlanes)
+      .orderBy("id_a", "id_b")
+
   /** IVF approximate top-3 with data-seeded centroids (embeddings of
     * vec_id < 8) and nprobe=2 — deterministic and SQL-reproducible, so
     * the whole operator is hash-verified. The KMeans-cell variant
@@ -375,6 +397,7 @@ object VectorQueries {
     "q39_knn_lsh" -> (q39KnnLsh _),
     "q40_embed_neardup" -> (q40EmbedNearDup _),
     "q113_embed_neardup_adaptive" -> (q113EmbedNearDupAdaptive _),
+    "q117_embed_neardup_capped" -> (q117EmbedNearDupCapped _),
     "q41_knn_ivf" -> (q41KnnIvf _),
     "q47_embed_quantize" -> (q47EmbedQuantize _),
   )
@@ -551,6 +574,9 @@ object VectorQueries {
     "q40_embed_neardup" -> Dedup.embeddingNearDupOracleSql(threshold = 0.3),
     "q113_embed_neardup_adaptive" ->
       Dedup.embeddingNearDupAdaptiveOracleSql(threshold = 0.3),
+    "q117_embed_neardup_capped" ->
+      Dedup.embeddingNearDupAdaptiveOracleSql(threshold = 0.3,
+        maxProbePlanes = CappedProbePlanes),
     "q47_embed_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

@@ -114,10 +114,20 @@ object CandVol {
       Dedup.simhashChunkKeys(Dedup.simhashDocs(docs), maxDist = 12,
         bits = graft.functions.SimHash.Bits),
       Seq("chunk_idx", "chunk"))
+    val simsPortable = Dedup.simhashDocsPortable(docs)
+    simsPortable.persist()
     val sim114 = selfJoinVolume(
-      Dedup.simhashChunkKeys(Dedup.simhashDocsPortable(docs), maxDist = 3,
+      Dedup.simhashChunkKeys(simsPortable, maxDist = 3,
         bits = Dedup.PortableSimHashBits),
       Seq("chunk_idx", "chunk"))
+    // q116: Manku block-combination tables — the chance-collision term's
+    // fix; its volume should stay ~linear where sim114's n²/2^15 term
+    // has taken over
+    val sim116 = selfJoinVolume(
+      Dedup.simhashComboKeys(simsPortable, maxDist = 3,
+        bits = Dedup.PortableSimHashBits, nBlocks = 6),
+      Seq("combo_idx", "combo_key"))
+    simsPortable.unpersist()
     val prefix = selfJoinVolume(
       Dedup.prefixKeys(docs, threshold = 0.5), Seq("shingle"))
     // q115: pair work is confined to Lloyd clusters ≤ the size cap —
@@ -145,6 +155,7 @@ object CandVol {
       ("q35_minhash_bands", minhash.toDouble),
       ("q36_simhash_d12", sim36.toDouble),
       ("q114_simhash_manku", sim114.toDouble),
+      ("q116_simhash_combo", sim116.toDouble),
       ("q97_prefix", prefix.toDouble),
       ("q113_adaptive_probe", adVol.toDouble),
       ("q113_probe_cap8", adVolCap.toDouble),
@@ -174,8 +185,8 @@ object CandVol {
     // q113/q115)
     val volKeys = Seq("q34_cand_capped", "q34_cand_uncapped",
       "q35_minhash_bands", "q36_simhash_d12", "q114_simhash_manku",
-      "q97_prefix", "q113_adaptive_probe", "q113_probe_cap8",
-      "q115_semantic_blocks")
+      "q116_simhash_combo", "q97_prefix", "q113_adaptive_probe",
+      "q113_probe_cap8", "q115_semantic_blocks")
     val legs = perDir.sliding(2).collect { case Seq((d1, v1), (d2, v2)) =>
       val m1 = v1.toMap; val m2 = v2.toMap
       val exps = volKeys.flatMap { k =>

@@ -85,6 +85,54 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("block-combination simhash finds exactly the chunk scheme's pairs (Manku pigeonhole)") {
+    // both schemes are exact on Hamming<=maxDist by pigeonhole, so their
+    // verified outputs must be identical sets — the combination tables
+    // only change WHERE pairs meet (30-bit keys in 20 tables vs 15-bit
+    // keys in 4), not WHICH pairs survive
+    for ((maxDist, nBlocks) <- Seq((3, 6), (2, 5), (3, 4))) {
+      val chunk = Dedup.simhashPairsPortable(docs, maxDist = maxDist)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      val combo = Dedup.simhashPairsCombinatorial(docs, maxDist = maxDist,
+        nBlocks = nBlocks)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(combo == chunk, s"maxDist=$maxDist nBlocks=$nBlocks")
+    }
+  }
+
+  test("combo keys pack the chosen blocks' bits consecutively (q116 oracle contract)") {
+    // hand-compute the 20 packed keys for one signature and pin the
+    // frame's (combo_idx, combo_key) rows against them — the exact
+    // arithmetic the generated oracle SQL mirrors
+    val sig = 0x0FED_CBA9_8765_4321L & ((1L << 60) - 1)
+    val sims = Seq((1L, sig)).toDF("id", "simhash")
+    val got = Dedup.simhashComboKeys(sims, maxDist = 3,
+        bits = Dedup.PortableSimHashBits, nBlocks = 6)
+      .select("combo_idx", "combo_key").as[(Int, Long)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    def block(b: Int): Long = (sig >>> (10 * b)) & 1023L
+    val want = (0 until 6).combinations(3).map { bs =>
+      bs.zipWithIndex.map { case (b, j) => block(b) << (10 * j) }
+        .reduce(_ | _)
+    }.toSeq
+    assert(got.size == 20 && got == want)
+    // a single-bit flip in block b changes exactly the C(5,2) = 10 keys
+    // whose combo contains b — the pigeonhole's working half
+    val flipped = sig ^ (1L << 25) // bit 25 lives in block 2
+    val sims2 = Seq((1L, flipped)).toDF("id", "simhash")
+    val got2 = Dedup.simhashComboKeys(sims2, maxDist = 3,
+        bits = Dedup.PortableSimHashBits, nBlocks = 6)
+      .select("combo_idx", "combo_key").as[(Int, Long)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    val combos = (0 until 6).combinations(3).toSeq
+    val changed = got.zip(got2).zipWithIndex
+      .collect { case ((a, b), i) if a != b => i }
+    assert(changed == combos.zipWithIndex
+      .collect { case (bs, i) if bs.contains(2) => i })
+  }
+
   test("rademacher plane i is independent of family size (q113 oracle prefix contract)") {
     // the q113 oracle embeds the 30-plane family and masks the bucket to
     // the low nPlanes bits — valid iff rademacherPlanes(k) is a prefix of

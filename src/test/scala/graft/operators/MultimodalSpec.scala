@@ -202,6 +202,47 @@ class MultimodalSpec extends SparkSpec {
     assert(keep.sameElements(small))
   }
 
+  test("perceptual dHash near-dup finds re-encoded images, not unrelated ones") {
+    // three REAL images: a gradient, the same gradient with mild noise
+    // in one corner (a near-dup), and an unrelated checkerboard
+    def png(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, paint(x, y))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    def gradient(x: Int, y: Int): Int =
+      ((x * 4) << 16) | ((y * 4) << 8) | ((x + y) * 2)
+    val base = png(gradient)
+    val noisy = png((x, y) =>
+      if (x < 8 && y < 8) gradient(x, y) ^ 0x0f0f0f else gradient(x, y))
+    val board = png((x, y) => if (((x / 8) + (y / 8)) % 2 == 0) 0xffffff else 0)
+    val rows = Seq(
+      MediaRow(50L, "image", base, MediaMeta(None, None, None, None)),
+      MediaRow(51L, "image", noisy, MediaMeta(None, None, None, None)),
+      MediaRow(52L, "image", board, MediaMeta(None, None, None, None)),
+      MediaRow(53L, "audio", base, MediaMeta(None, None, None, None)), // kind filter
+      MediaRow(54L, "image", "not an image".getBytes, MediaMeta(None, None, None, None)),
+    ).toDS()
+    // only decodable image rows are hashed
+    val hashes = imageDHashes(rows).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keySet == Set(50L, 51L, 52L))
+    // dHash is deterministic in the decoded raster
+    assert(hashes(50L) == graft.functions.MediaCodecs.dHash64(
+      graft.functions.MediaCodecs.decodeImage(base).get))
+    val pairs = imageNearDup(rows, maxDist = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((50L, 51L)), "corner-noise re-encode is a near-dup")
+    assert(!pairs.contains((50L, 52L)) && !pairs.contains((51L, 52L)),
+      "checkerboard is unrelated")
+    // pairs come from the shared pigeonhole machinery: exactly Hamming<=maxDist
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(50L), hashes(51L)) <= 10)
+    assert(ham(hashes(50L), hashes(52L)) > 10)
+  }
+
   test("8-bit unsigned WAV decodes through the PCM_UNSIGNED branch") {
     // RIFF/WAVE, 1 channel, 8 kHz, 8-bit: samples stored offset-128
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)

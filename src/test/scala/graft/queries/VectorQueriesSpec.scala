@@ -136,6 +136,21 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q117 capped near-dup equals q113 while the corpus needs <= cap planes") {
+    // fixture corpora need at most 8 planes, so the probe cap is
+    // inactive and the declared capped form must be bit-identical to the
+    // uncapped one (the cap's divergence at depth is pinned by
+    // CandVolSpec's probe-set test and measured by CandVol at g3/g10)
+    val (_, scheme) = graft.operators.Dedup.adaptiveBuckets(
+      graft.core.Tables.embeddings(spark, d))
+    assert(scheme.planesUsed <= VectorQueries.CappedProbePlanes)
+    val a = VectorQueries.q113EmbedNearDupAdaptive(spark, d)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = VectorQueries.q117EmbedNearDupCapped(spark, d)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("q99 is invariant to shuffle partitioning (the determinism claim)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val a = VectorQueries.q99Kmeans(spark, d)

@@ -42,6 +42,13 @@ class CandVolSpec extends SparkSpec {
       enumerated(k114, Seq("chunk_idx", "chunk")))
   }
 
+  test("simhash combo volume equals the enumerated combination-table join (q116)") {
+    val keys = Dedup.simhashComboKeys(Dedup.simhashDocsPortable(docs),
+      maxDist = 3, bits = Dedup.PortableSimHashBits, nBlocks = 6)
+    assert(CandVol.selfJoinVolume(keys, Seq("combo_idx", "combo_key")) ===
+      enumerated(keys, Seq("combo_idx", "combo_key")))
+  }
+
   test("prefix volume equals the enumerated prefix join") {
     val keys = Dedup.prefixKeys(docs, threshold = 0.5)
     assert(CandVol.selfJoinVolume(keys, Seq("shingle")) ===
