@@ -197,6 +197,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Fuzzy CROSS-corpus near-dup pairs — the decontamination shape of
+    * the training pipeline: find `corpus` (train) documents that are
+    * near-duplicates of any `probe` (eval/benchmark) document, so they
+    * can be dropped before training. q50's exact containment catches
+    * verbatim leakage; this catches paraphrase-level leakage the same
+    * way the symmetric q35 catches near-dup pairs: MinHash band keys on
+    * BOTH sides, an asymmetric band join (corpus × probe — never
+    * corpus × corpus, so the candidate volume is |corpus bands| ×
+    * |probe bucket mates|, linear in the corpus for a fixed probe set),
+    * then exact-Jaccard verification so the output is exact on the
+    * candidates found. At 100 TB the probe side (a benchmark suite) is
+    * tiny: its banded keys behave like a broadcast-sized build side
+    * against the streaming corpus scan. Output: (id_a = corpus doc,
+    * id_b = probe doc, n_common, jaccard). Ids must be distinct across
+    * the two frames (they are two slices of one id space in q119). */
+  def crossCorpusNearDup(corpus: DataFrame, probe: DataFrame,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bc = minhashBandKeys(corpus, k, bands, n, idCol, textCol)
+      .select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val bp = minhashBandKeys(probe, k, bands, n, idCol, textCol)
+      .select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val cands = bc.join(bp, Seq("band", "band_hash"))
+      .select("id_a", "id_b").distinct()
+    verifiedJaccard(corpus.unionByName(probe), cands, threshold, n,
+      idCol, textCol)
+  }
+
   /** Per-doc 64-bit SimHash over DISTINCT token n-gram shingles (n=1
     * degenerates to bare tokens).
     *
@@ -319,10 +347,22 @@ object Dedup {
     * key-row fan-out (20 vs 4 rows per doc) — precisely Manku's
     * space-for-asymptote trade. CandVol measures both schemes' volumes
     * side by side; the combination scheme's exponent stays ~1 even on
-    * corpora whose chunk volume has gone quadratic. */
+    * corpora whose chunk volume has gone quadratic (measured 1.95-1.98
+    * for the 15-bit chunks vs 1.00-1.01 here on the g1/g3/g10 Heaps
+    * corpora; 16.7M vs 0.62M candidate pairs at 500k docs).
+    *
+    * saltBuckets defaults LOWER than the chunk scheme's 16: salt should
+    * size to the expected hot-bucket population, and 30-bit keys make
+    * chance buckets ~2^15× smaller than 15-bit chunks — the residual
+    * hot keys are exact-/near-dup clusters, which salt 4 already
+    * spreads. Side B's replication is rows × C(nBlocks, nBlocks−maxDist)
+    * × saltBuckets, so salt decides whether the 20-table fan-out costs
+    * 5× shuffle (measured at g10: salt 16 put this join's wall ABOVE
+    * the chunk join's despite 27× fewer candidates; salt 4 keeps
+    * per-doc side-B fan-out at 80 rows vs the chunk scheme's 64). */
   def simhashPairsCombinatorial(docs: DataFrame, maxDist: Int = 3,
       nBlocks: Int = 6, idCol: String = "doc_id", textCol: String = "text",
-      saltBuckets: Int = 16, n: Int = 3): DataFrame =
+      saltBuckets: Int = 4, n: Int = 3): DataFrame =
     simhashKeyedJoin(
       simhashComboKeys(simhashDocsPortable(docs, idCol, textCol, n),
         maxDist, PortableSimHashBits, nBlocks),

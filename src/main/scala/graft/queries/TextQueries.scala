@@ -176,6 +176,29 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q119's probe-set slice: documents with doc_id ≡ 0 (mod 7) play the
+    * eval/benchmark side, the rest are the training corpus — dense
+    * enough that cross-set near-dup pairs exist at every fixture SF
+    * (9 at sf0.01, 57 at sf0.1), so the decontamination path is
+    * genuinely exercised, not vacuously green. */
+  val DecontamMod = 7
+
+  /** Fuzzy decontamination ([[Dedup.crossCorpusNearDup]]): training docs
+    * that are paraphrase-level near-dups (J ≥ 0.5) of any probe doc —
+    * the asymmetric sibling of q35 (symmetric near-dup) and q50 (exact
+    * containment). MinHash bands join corpus × probe only, then exact
+    * Jaccard verifies, so the oracle is the exact CROSS-pair truth and
+    * the hash match doubles as the band join's recall proof (the q35
+    * oracle pattern). */
+  def q119FuzzyDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.crossCorpusNearDup(
+      docs.filter(pmod(col("doc_id"), lit(DecontamMod)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(DecontamMod)) === 0),
+      threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   /** q100's quality floor (tokens). Trims ~20% of the corpus at every
     * SF, so the stage is genuinely exercised. */
   val MinTokensE2e = 30
@@ -400,6 +423,7 @@ object TextQueries {
     "q36_simhash_pairs" -> (q36Simhash _),
     "q114_simhash_manku" -> (q114SimhashManku _),
     "q116_simhash_combos" -> (q116SimhashCombos _),
+    "q119_fuzzy_decontam" -> (q119FuzzyDecontam _),
     "q37_rolling_fingerprint" -> (q37RollingFingerprint _),
     "q44_dedup_clusters" -> (q44DedupClusters _),
     "q48_train_split" -> (q48TrainSplit _),
@@ -538,6 +562,23 @@ object TextQueries {
     "q36_simhash_pairs" -> exactJaccardSql,
     "q114_simhash_manku" -> simhashMankuSql,
     "q116_simhash_combos" -> simhashCombosSql,
+    // exact CROSS-pair Jaccard (train side % mod != 0, probe side = 0):
+    // equality is simultaneously the band join's recall proof, as q35
+    "q119_fuzzy_decontam" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
+         |  FROM docs WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id % $DecontamMod <> 0 AND b.doc_id % $DecontamMod = 0
+         |  GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, n_common,
+         |  round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     "q37_rolling_fingerprint" ->
       "SELECT doc_id, true AS consistent FROM documents ORDER BY doc_id",
     "q44_dedup_clusters" ->

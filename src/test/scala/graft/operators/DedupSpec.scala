@@ -50,6 +50,23 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((0L, 4L)))
   }
 
+  test("cross-corpus near-dup finds only corpus-x-probe pairs, correctly oriented") {
+    // probe = doc 3 (near-dup of corpus doc 2); corpus = the rest
+    val probe = docs.filter(col("doc_id") === 3L)
+    val corpus = docs.filter(col("doc_id") =!= 3L)
+    val got = Dedup.crossCorpusNearDup(corpus, probe, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.toSeq.map(p => (p._1, p._2)) == Seq((2L, 3L)),
+      "exactly the planted cross pair, corpus id first")
+    assert(got.head._3 == 0.8333) // same exact value as the symmetric join
+    // corpus-internal near-dups never appear: with 2 AND 3 both on the
+    // corpus side (probe = the unrelated doc 4), the symmetric join
+    // would find (2,3) but the cross join must find nothing
+    val probe4 = docs.filter(col("doc_id") === 4L)
+    val corpus4 = docs.filter(col("doc_id") =!= 4L)
+    assert(Dedup.crossCorpusNearDup(corpus4, probe4, threshold = 0.5).count() == 0L)
+  }
+
   test("simhash distance 0 for identical token multisets, small for near-dups") {
     val sims = Dedup.simhashDocs(docs).orderBy("id").as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
