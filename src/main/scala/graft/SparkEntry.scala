@@ -41,7 +41,8 @@ object SparkEntry {
     * declared at-scale near-dup forms (adaptive-plane embedding
     * near-dup, Manku-width simhash) and SemDeDup → 24 queries; round 6
     * appends the two asymptote-hardened forms (block-combination
-    * simhash, probe-capped adaptive near-dup) → 26. */
+    * simhash, probe-capped adaptive near-dup) plus cross-corpus
+    * decontamination → 27. */
   def headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q07_multi_join",
     "q10_argmax_window", "q13_hindex", "q19_running_sum",
@@ -52,5 +53,5 @@ object SparkEntry {
     "q97_prefix_join", "q99_kmeans", "q100_pipeline_e2e",
     "q113_embed_neardup_adaptive", "q114_simhash_manku",
     "q115_semantic_dedup", "q116_simhash_combos",
-    "q117_embed_neardup_capped")
+    "q117_embed_neardup_capped", "q119_fuzzy_decontam")
 }

@@ -41,6 +41,16 @@ object CandVol {
       .agg(sum(col("pop") * (col("pop") - 1) / 2).cast("long"))
       .head().getLong(0)
 
+  /** Σ over distinct key of popA·popB — the row count of an A×B
+    * cross-equijoin on `keyCols` (q119's corpus × probe band join). */
+  def crossJoinVolume(keysA: DataFrame, keysB: DataFrame,
+      keyCols: Seq[String]): Long = {
+    val a = keysA.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("pa"))
+    val b = keysB.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("pb"))
+    a.join(b, keyCols)
+      .agg(sum(col("pa") * col("pb")).cast("long")).head().getLong(0)
+  }
+
   /** q115's blocking frame: each surviving vector keyed by its Lloyd
     * cluster, hot clusters (> SemMaxCluster) dropped exactly as the
     * operator drops them before its pair join. [[selfJoinVolume]] on
@@ -130,6 +140,13 @@ object CandVol {
     simsPortable.unpersist()
     val prefix = selfJoinVolume(
       Dedup.prefixKeys(docs, threshold = 0.5), Seq("shingle"))
+    // q119: corpus × probe band join — the decontamination shape; the
+    // probe slice is the declared query's own doc_id % mod split
+    val dmod = graft.queries.TextQueries.DecontamMod
+    val cross = crossJoinVolume(
+      Dedup.minhashBandKeys(docs.filter(col("doc_id") % dmod =!= 0)),
+      Dedup.minhashBandKeys(docs.filter(col("doc_id") % dmod === 0)),
+      Seq("band", "band_hash"))
     // q115: pair work is confined to Lloyd clusters ≤ the size cap —
     // Σ over surviving clusters of C(pop, 2), from the operator's own
     // cluster assignment (semanticClusters — factored, not reimplemented)
@@ -157,6 +174,7 @@ object CandVol {
       ("q114_simhash_manku", sim114.toDouble),
       ("q116_simhash_combo", sim116.toDouble),
       ("q97_prefix", prefix.toDouble),
+      ("q119_cross_bands", cross.toDouble),
       ("q113_adaptive_probe", adVol.toDouble),
       ("q113_probe_cap8", adVolCap.toDouble),
       ("q113_n_planes", scheme.planesUsed.toDouble),
@@ -185,8 +203,8 @@ object CandVol {
     // q113/q115)
     val volKeys = Seq("q34_cand_capped", "q34_cand_uncapped",
       "q35_minhash_bands", "q36_simhash_d12", "q114_simhash_manku",
-      "q116_simhash_combo", "q97_prefix", "q113_adaptive_probe",
-      "q113_probe_cap8", "q115_semantic_blocks")
+      "q116_simhash_combo", "q97_prefix", "q119_cross_bands",
+      "q113_adaptive_probe", "q113_probe_cap8", "q115_semantic_blocks")
     val legs = perDir.sliding(2).collect { case Seq((d1, v1), (d2, v2)) =>
       val m1 = v1.toMap; val m2 = v2.toMap
       val exps = volKeys.flatMap { k =>

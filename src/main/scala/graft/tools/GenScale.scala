@@ -159,14 +159,21 @@ object GenScale {
     }
   }
 
+  /** `tables` subsets what is written (GRAFT_GEN_TABLES env in main) —
+    * a CandVol-only decade needs documents+embeddings and can skip the
+    * dominant lineitem generation (180M rows at sf=30). */
   def generate(spark: SparkSession, outDir: String, sf: Double, seed: Long = 42L,
-      fixedVocab: Option[Int] = None): Unit = {
-    documents(spark, sf, seed, fixedVocab).write.mode("overwrite")
-      .parquet(s"$outDir/documents.parquet")
-    embeddings(spark, sf, seed).write.mode("overwrite")
-      .parquet(s"$outDir/embeddings.parquet")
-    lineitem(spark, sf, seed).write.mode("overwrite")
-      .parquet(s"$outDir/lineitem.parquet")
+      fixedVocab: Option[Int] = None,
+      tables: Set[String] = Set("documents", "embeddings", "lineitem")): Unit = {
+    if (tables("documents"))
+      documents(spark, sf, seed, fixedVocab).write.mode("overwrite")
+        .parquet(s"$outDir/documents.parquet")
+    if (tables("embeddings"))
+      embeddings(spark, sf, seed).write.mode("overwrite")
+        .parquet(s"$outDir/embeddings.parquet")
+    if (tables("lineitem"))
+      lineitem(spark, sf, seed).write.mode("overwrite")
+        .parquet(s"$outDir/lineitem.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -182,8 +189,11 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, outDir, sf, seed, fixedVocab)
-    println(s"generated sf=$sf at $outDir (docs=${nDocs(sf)}, vecs=${nVecs(sf)}, lineitem=${nLineitem(sf)})")
+    val tables = sys.env.get("GRAFT_GEN_TABLES")
+      .map(_.split(",").toSet)
+      .getOrElse(Set("documents", "embeddings", "lineitem"))
+    generate(spark, outDir, sf, seed, fixedVocab, tables)
+    println(s"generated sf=$sf at $outDir (docs=${nDocs(sf)}, vecs=${nVecs(sf)}, lineitem=${nLineitem(sf)}; tables=${tables.toSeq.sorted.mkString(",")})")
     spark.stop()
   }
 }

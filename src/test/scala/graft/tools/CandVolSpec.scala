@@ -49,6 +49,19 @@ class CandVolSpec extends SparkSpec {
       enumerated(keys, Seq("combo_idx", "combo_key")))
   }
 
+  test("cross-band volume equals the enumerated corpus-x-probe band join (q119)") {
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    val ka = Dedup.minhashBandKeys(corpus)
+    val kb = Dedup.minhashBandKeys(probe)
+    val enumeratedCross = ka.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(kb.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .count()
+    assert(CandVol.crossJoinVolume(ka, kb, Seq("band", "band_hash")) ===
+      enumeratedCross)
+  }
+
   test("prefix volume equals the enumerated prefix join") {
     val keys = Dedup.prefixKeys(docs, threshold = 0.5)
     assert(CandVol.selfJoinVolume(keys, Seq("shingle")) ===
