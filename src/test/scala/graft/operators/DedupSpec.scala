@@ -150,6 +150,98 @@ class DedupSpec extends SparkSpec {
       .collect { case (bs, i) if bs.contains(2) => i })
   }
 
+  test("pigeonhole laws hold on 360 random signatures for both table schemes") {
+    // drive the REAL key frames (simhashChunkKeys / simhashComboKeys)
+    // with seeded random 60-bit signatures plus planted <=3-flip pairs,
+    // and check the laws over all ~65k pairs:
+    //   completeness: every Hamming<=3 pair shares a chunk AND a combo
+    //   exactness:    candidates filtered to Hamming<=3 = the brute set
+    //   packing:      a combo key matches iff all 3 chosen blocks match
+    val rnd = new scala.util.Random(11)
+    val mask = (1L << Dedup.PortableSimHashBits) - 1
+    val base = Seq.tabulate(300)(i => (i.toLong, rnd.nextLong() & mask))
+    val planted = (0 until 60).map { i =>
+      var s2 = base(i)._2
+      val r = new scala.util.Random(100 + i)
+      (0 until (i % 4)).foreach(_ => s2 ^= 1L << r.nextInt(60))
+      (1000L + i, s2)
+    }
+    val all = base ++ planted
+    val sigOf = all.toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val brute = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b && ham(sa, sb) <= 3
+    } yield (a, b)).toSet
+    assert(brute.size >= 45, "planted pairs must make the law non-vacuous")
+
+    val df = all.toDF("id", "simhash")
+    def candidates(keys: org.apache.spark.sql.DataFrame,
+        idx: String, key: String): Set[(Long, Long)] = {
+      val rows = keys.select(col(idx).cast("long"), col(key), col("id"))
+        .as[(Long, Long, Long)].collect()
+      rows.groupBy(r => (r._1, r._2)).valuesIterator.flatMap { g =>
+        val ids = g.map(_._3).distinct.sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    }
+    val chunkCand = candidates(Dedup.simhashChunkKeys(
+      df.select(col("id"), col("simhash")), maxDist = 3,
+      bits = Dedup.PortableSimHashBits), "chunk_idx", "chunk")
+    val comboCand = candidates(Dedup.simhashComboKeys(
+      df.select(col("id"), col("simhash")), maxDist = 3,
+      bits = Dedup.PortableSimHashBits, nBlocks = 6), "combo_idx", "combo_key")
+    assert(brute.subsetOf(chunkCand), "chunk pigeonhole completeness")
+    assert(brute.subsetOf(comboCand), "combo pigeonhole completeness")
+    assert(chunkCand.filter { case (a, b) => ham(sigOf(a), sigOf(b)) <= 3 } == brute)
+    assert(comboCand.filter { case (a, b) => ham(sigOf(a), sigOf(b)) <= 3 } == brute)
+    // packing exactness: combo candidacy == some block triple identical
+    def blocks(s: Long): IndexedSeq[Long] =
+      (0 until 6).map(b => (s >>> (10 * b)) & 1023L)
+    val tripleMatch = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      if (0 until 6).combinations(3).exists(t =>
+        t.forall(bi => blocks(sa)(bi) == blocks(sb)(bi)))
+    } yield (a, b)).toSet
+    assert(comboCand == tripleMatch, "combo key equality == block-triple equality")
+  }
+
+  test("radius-1 multiprobe completeness law on random plane signatures") {
+    // the q113 scaladoc's contract, checked on the REAL probeBuckets /
+    // coarsening columns over random 10-bit plane signatures: any two
+    // signatures differing in at most ONE plane must meet (side A's
+    // effective bucket inside side B's probe set, in either
+    // orientation); and flips of the merged top plane are the identity
+    // on the effective bucket, so top-plane-only pairs in merged
+    // regions meet too
+    val scheme = Dedup.AdaptiveScheme(9, 3) // planesUsed = 10, m = 3
+    val rnd = new scala.util.Random(13)
+    val fulls = Seq.fill(300)(rnd.nextInt(1 << 10)).distinct
+    // maxProbePlanes = 0 freezes every flip -> the 1-element array holding
+    // the row's own coarsened (effective) bucket
+    val rows = fulls.toDF("full").select(col("full"),
+        element_at(Dedup.probeBuckets(col("full"), scheme, 0), 1).as("blk"),
+        Dedup.probeBuckets(col("full"), scheme).as("probes"))
+      .as[(Int, Int, Seq[Int])].collect()
+    val byFull = rows.map(r => r._1 -> r).toMap
+    var checked = 0
+    for (a <- byFull.keys; b <- byFull.keys
+         if a < b && Integer.bitCount(a ^ b) <= 1) {
+      val meet = byFull(a)._3.contains(byFull(b)._2) ||
+        byFull(b)._3.contains(byFull(a)._2)
+      assert(meet, s"fulls $a,$b differ in <=1 plane but never meet")
+      checked += 1
+    }
+    assert(checked >= 20, "sample must exercise the law non-vacuously")
+    // merged-region top-plane law: low >= m makes the top flip invisible
+    for (a <- byFull.keys) {
+      val b = a ^ (1 << 9) // flip the top plane
+      if ((a & 511) >= 3 && byFull.contains(b))
+        assert(byFull(a)._2 == byFull(b)._2,
+          s"merged region: $a and $b must coarsen to the same bucket")
+    }
+  }
+
   test("rademacher plane i is independent of family size (q113 oracle prefix contract)") {
     // the q113 oracle embeds the 30-plane family and masks the bucket to
     // the low nPlanes bits — valid iff rademacherPlanes(k) is a prefix of
