@@ -319,7 +319,11 @@ object Dedup {
     * looser corpora through [[minhashLsh]] + [[verifiedJaccard]].
     * Portable signatures make the whole operator — signature bits,
     * chunking, candidate join, Hamming filter — reproducible in SQL
-    * (declared as q114 with a full DuckDB mirror). */
+    * (declared as q114 with a full DuckDB mirror). The single-chunk
+    * keys still admit ~n²/2^15 chance agreements per table (measured
+    * exponent 1.95-1.99 over g1→g30); corpora past ~10^6 docs should
+    * use [[simhashPairsCombinatorial]] (q116), whose combination keys
+    * hold the volume linear at the same exact output. */
   def simhashPairsPortable(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       saltBuckets: Int = 16, n: Int = 3): DataFrame =
