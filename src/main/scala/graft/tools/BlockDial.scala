@@ -34,10 +34,11 @@ object BlockDial {
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
     else String.format(Locale.ROOT, "%.4f", Double.box(v))
 
-  /** (volume, plantedFound, plantedTotal) at one knob setting. */
-  def measure(s: org.apache.spark.sql.SparkSession, dir: String,
+  /** (volume, plantedFound, plantedTotal) at one knob setting, over any
+    * embeddings frame following GenScale's planted-pair convention
+    * (ids (2i, 2i+1) near-identical for i < n/25). */
+  def measure(embs: org.apache.spark.sql.DataFrame,
       maxItemsPerBlock: Long, maxProbePlanes: Int): (Long, Long, Long) = {
-    val embs = Tables.embeddings(s, dir)
     val nVecs = embs.count()
     val nPlanted = math.max(1L, nVecs / 25) // GenScale's nDupPairs
     val (bounded, scheme) =
@@ -75,7 +76,7 @@ object BlockDial {
       ("mb4t_cap8", 1024L, 8))
     val rows = dirs.map { d =>
       val per = settings.map { case (label, mb, cap) =>
-        val (vol, found, total) = measure(s, d, mb, cap)
+        val (vol, found, total) = measure(Tables.embeddings(s, d), mb, cap)
         System.err.println(f"[blockdial] $d $label%-10s vol=$vol%12d recall=$found/$total")
         (label, vol, found, total)
       }
