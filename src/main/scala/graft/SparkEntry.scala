@@ -42,7 +42,8 @@ object SparkEntry {
     * near-dup, Manku-width simhash) and SemDeDup → 24 queries; round 6
     * appends the two asymptote-hardened forms (block-combination
     * simhash, probe-capped adaptive near-dup) plus cross-corpus
-    * decontamination → 27. */
+    * decontamination → 27, and the late session adds incremental-ingest
+    * dedup (the production corpus-update shape) → 28. */
   def headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q07_multi_join",
     "q10_argmax_window", "q13_hindex", "q19_running_sum",
@@ -53,5 +54,6 @@ object SparkEntry {
     "q97_prefix_join", "q99_kmeans", "q100_pipeline_e2e",
     "q113_embed_neardup_adaptive", "q114_simhash_manku",
     "q115_semantic_dedup", "q116_simhash_combos",
-    "q117_embed_neardup_capped", "q119_fuzzy_decontam")
+    "q117_embed_neardup_capped", "q119_fuzzy_decontam",
+    "q120_incremental_dedup")
 }

@@ -225,6 +225,54 @@ object Dedup {
       idCol, textCol)
   }
 
+  /** Incremental-ingest dedup — the shape every production corpus update
+    * actually runs: a NEW batch of documents arrives and must be deduped
+    * (a) against the accumulated historical corpus and (b) within itself,
+    * while the history is never re-deduped (history × history never
+    * joins). Per batch doc the verdict is deterministic and prioritized:
+    * `dup_history` (some history doc matches at >= threshold; blame the
+    * smallest such id), else `dup_batch` (a LOWER-id batch doc matches —
+    * the same lower-id-wins convention as [[exact]]), else `kept`.
+    *
+    * Scale contract at 100 TB: the history side contributes only its
+    * MinHash band keys — in production those are a materialized index
+    * (computed once per doc at its own ingest, appended per batch — see
+    * [[minhashBandKeys]], whose output is exactly the index schema), so
+    * a daily ingest pays |batch| signature computations plus one
+    * band-key probe join against the index plus the batch's internal
+    * candidate join. Cost per ingest is linear in the batch for a fixed
+    * band scheme; nothing ever rescans or re-pairs the full corpus. Both
+    * candidate legs are exact-Jaccard verified ([[verifiedJaccard]]), so
+    * the output is exact on the candidates found and the DuckDB oracle
+    * (exact pair truth on both legs) doubles as the band recall proof —
+    * the q35/q119 pattern. */
+  def incrementalNearDup(history: DataFrame, batch: DataFrame,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val histPairs = crossCorpusNearDup(history, batch, threshold, k, bands, n,
+      idCol, textCol)
+    val bk = minhashBandKeys(batch, k, bands, n, idCol, textCol)
+    val batchCands = bk
+      .select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(bk.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val batchPairs = verifiedJaccard(batch, batchCands, threshold, n, idCol, textCol)
+    val histBlame = histPairs.groupBy(col("id_b").as(idCol))
+      .agg(min("id_a").as("hist_dup"))
+    val batchBlame = batchPairs.groupBy(col("id_b").as(idCol))
+      .agg(min("id_a").as("batch_dup"))
+    batch.select(col(idCol))
+      .join(histBlame, Seq(idCol), "left")
+      .join(batchBlame, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("hist_dup").isNotNull, lit("dup_history"))
+          .when(col("batch_dup").isNotNull, lit("dup_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("hist_dup"), col("batch_dup"), lit(-1L)).as("dup_of"))
+  }
+
   /** Per-doc 64-bit SimHash over DISTINCT token n-gram shingles (n=1
     * degenerates to bare tokens).
     *

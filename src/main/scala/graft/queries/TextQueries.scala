@@ -199,6 +199,60 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q120's ingest slice: documents with doc_id ≡ 0 (mod 4) play the
+    * newly-arrived batch, the rest the accumulated history. Both dedup
+    * legs are non-vacuous at every fixture SF (exact cross-slice pairs /
+    * within-batch pairs at J >= 0.5: 6/1 at sf0.01, 94/16 at sf0.1), so
+    * the history probe AND the in-batch join are genuinely exercised. */
+  val IngestMod = 4
+
+  /** Incremental-ingest dedup ([[Dedup.incrementalNearDup]]): the
+    * production corpus-update shape — a new batch deduped against the
+    * historical corpus (whose band keys are, at scale, a materialized
+    * index appended per ingest) and within itself, lower-id-wins, with
+    * history × history never joined. Exact-Jaccard verification on both
+    * candidate legs keeps the oracle the exact pair truth, so the hash
+    * match doubles as the band join's recall proof (q35/q119 pattern). */
+  def q120IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalNearDup(
+      docs.filter(pmod(col("doc_id"), lit(IngestMod)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(IngestMod)) === 0),
+      threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Model-based quality filter: a linear classifier (the interpretable
+    * distillation of a fastText-style quality model) scored per document
+    * — logit = Wtok·n_tokens + Wstop·stop_ratio + Wdup·dup_frac, kept
+    * iff logit >= 0 (the logistic is monotone, so thresholding the logit
+    * avoids exp(), whose last-ulp behavior is libm-specific and would
+    * break cross-engine hash equality). Keeps ~67% of the fixture corpus
+    * — both verdicts exercised at every SF. At 100 TB this is the ideal
+    * operator shape: weights are literals baked into one codegen'd
+    * projection — zero shuffle, zero broadcast, scan-bound; the feature
+    * ratios reuse the rounded q31 primitives so every input to the
+    * decision is already engine-portable. Weight values are chosen so
+    * every term is an exact multiple of 0.0001 in decimal arithmetic
+    * (0.01·int, 10·(4-dec), 2·(4-dec)) — the final round(·,4) then never
+    * sees a half-tie, which is what makes the rounded score bit-identical
+    * across engines (a 2.5 weight produced 0.00025-granularity terms and
+    * real .00005 ties that Spark and DuckDB broke differently). */
+  def q121QualityFilter(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        T.nTokens(txt).as("n_tokens"),
+        T.stopwordRatio(txt).as("stop_ratio"),
+        T.dupTokenFrac(txt).as("dup_frac"))
+      .withColumn("score",
+        round(lit(0.01) * col("n_tokens") + lit(10.0) * col("stop_ratio")
+          - lit(2.0) * col("dup_frac"), 4))
+      .withColumn("kept", col("score") >= 0)
+      .orderBy("doc_id")
+  }
+
   /** q100's quality floor (tokens). Trims ~20% of the corpus at every
     * SF, so the stage is genuinely exercised. */
   val MinTokensE2e = 30
@@ -424,6 +478,8 @@ object TextQueries {
     "q114_simhash_manku" -> (q114SimhashManku _),
     "q116_simhash_combos" -> (q116SimhashCombos _),
     "q119_fuzzy_decontam" -> (q119FuzzyDecontam _),
+    "q120_incremental_dedup" -> (q120IncrementalDedup _),
+    "q121_quality_filter" -> (q121QualityFilter _),
     "q37_rolling_fingerprint" -> (q37RollingFingerprint _),
     "q44_dedup_clusters" -> (q44DedupClusters _),
     "q48_train_split" -> (q48TrainSplit _),
@@ -579,6 +635,47 @@ object TextQueries {
          |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          |WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    // exact pair truth on BOTH legs (cross-slice and within-batch) — the
+    // Spark side's band-join candidates must reach recall 1.0 on this
+    // corpus for the hash to match, same contract as q35/q119. The pairs
+    // CTE only materializes rows whose RIGHT side is a batch doc: the
+    // history×history quadrant is excluded in the join condition, exactly
+    // mirroring the operator's never-re-pair-history contract.
+    "q120_incremental_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle
+         |  FROM docs WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |  WHERE b.doc_id % $IngestMod = 0
+         |  GROUP BY ia, ib),
+         |j AS (SELECT ia, ib FROM pairs
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) >= 0.5),
+         |hist AS (SELECT ib AS doc_id, min(ia) AS hist_dup FROM j
+         |  WHERE ia % $IngestMod <> 0 GROUP BY ib),
+         |bat AS (SELECT ib AS doc_id, min(ia) AS batch_dup FROM j
+         |  WHERE ia % $IngestMod = 0 AND ia < ib GROUP BY ib)
+         |SELECT d.doc_id,
+         |  CASE WHEN h.hist_dup IS NOT NULL THEN 'dup_history'
+         |       WHEN b.batch_dup IS NOT NULL THEN 'dup_batch'
+         |       ELSE 'kept' END AS status,
+         |  coalesce(h.hist_dup, b.batch_dup, -1) AS dup_of
+         |FROM documents d
+         |LEFT JOIN hist h USING (doc_id) LEFT JOIN bat b USING (doc_id)
+         |WHERE d.doc_id % $IngestMod = 0 ORDER BY d.doc_id""".stripMargin,
+    "q121_quality_filter" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  round($en / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+         |  round(1.0 - len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS dup_frac
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, stop_ratio, dup_frac,
+         |  round(0.01 * n_tokens + 10.0 * stop_ratio - 2.0 * dup_frac, 4) AS score,
+         |  round(0.01 * n_tokens + 10.0 * stop_ratio - 2.0 * dup_frac, 4) >= 0 AS kept
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q37_rolling_fingerprint" ->
       "SELECT doc_id, true AS consistent FROM documents ORDER BY doc_id",
     "q44_dedup_clusters" ->

@@ -74,4 +74,49 @@ class TextQueriesSpec extends SparkSpec {
       .map { case (id, n, fp) => id -> ((n, fp)) }.toMap
     assert(got == Map(1L -> ((2L, 1)), 2L -> ((1L, 2))))
   }
+
+  test("q120 incremental dedup equals the brute-force exact classification") {
+    // truth: ALL exact J >= 0.5 pairs (uncapped ngramJaccard), classified
+    // per batch doc with the operator's priority (history > lower-id batch)
+    val pairs = graft.operators.Dedup
+      .ngramJaccard(graft.core.Tables.documents(spark, d), n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val batchIds = graft.core.Tables.documents(spark, d)
+      .filter(pmod(col("doc_id"), lit(TextQueries.IngestMod)) === 0)
+      .select("doc_id").as[Long].collect().sorted
+    def partners(b: Long): Seq[Long] =
+      pairs.collect { case (x, y) if x == b => y; case (x, y) if y == b => x }.toSeq
+    val want = batchIds.map { b =>
+      val hist = partners(b).filter(_ % TextQueries.IngestMod != 0)
+      val lower = partners(b).filter(p => p % TextQueries.IngestMod == 0 && p < b)
+      if (hist.nonEmpty) (b, "dup_history", hist.min)
+      else if (lower.nonEmpty) (b, "dup_batch", lower.min)
+      else (b, "kept", -1L)
+    }.toSeq
+    val got = TextQueries.q120IncrementalDedup(spark, d)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == want, "incremental verdicts must equal exact-pair truth")
+    assert(got.size == batchIds.length, "exactly one verdict per batch doc")
+    assert(got.exists(_._2 == "kept"), "fixture must keep some batch docs")
+  }
+
+  test("q121 quality filter equals the in-memory linear model") {
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stop = graft.functions.TextFunctions.langProfiles("en").toSet
+    val docs = graft.core.Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val want = docs.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      val sr = r4(t.count(stop.contains).toDouble / t.length)
+      val df = r4(1.0 - t.distinct.length.toDouble / t.length)
+      val score = r4(0.01 * t.length + 10.0 * sr - 2.0 * df)
+      (id, t.length, sr, df, score, score >= 0)
+    }.sortBy(_._1).toSeq
+    val got = TextQueries.q121QualityFilter(spark, d)
+      .as[(Long, Int, Double, Double, Double, Boolean)].collect().toSeq
+    assert(got == want, "scores must equal the in-memory model")
+    assert(got.exists(_._6) && got.exists(!_._6),
+      "both verdicts must occur on the fixture")
+  }
 }
