@@ -84,7 +84,10 @@ object Bench {
         val s = sentinel()
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          // full materialization, not count(): see Sessions.materialize —
+          // count()'s column pruning can delete prunable join subtrees
+          // from the measured plan (q120 benched 13x fast-but-wrong)
+          try { graft.core.Sessions.materialize(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false

@@ -29,8 +29,10 @@ object TimeQuery {
       val fn = all.getOrElse(name, sys.error(s"unknown query $name"))
       (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
-        println(f"[timequery] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        // noop-sink materialization (Sessions.materialize): count() lets
+        // the optimizer prune work out of the timed plan
+        Sessions.materialize(fn(spark, dir))
+        println(f"[timequery] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     spark.stop()

@@ -1,0 +1,34 @@
+#!/usr/bin/env bash
+# Run any graft main on a plain JVM (same classpath/opens recipe as
+# bench.sh): tools/run.sh <MainClass> [args...]. Avoids sbt's stdout
+# wrapping and its project lock, so tool mains (TimeQuery, ScaleBench,
+# AuditPlans, CandVol, ...) can run while another sbt task is active.
+#
+# Usage: SPARK_DRIVER_MEM=24g tools/run.sh graft.tools.TimeQuery <dir> <q>
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+CLASSES=target/scala-2.13/classes
+if [ ! -d "$CLASSES" ] || [ -n "$(find src/main -name '*.scala' -newer "$CLASSES" -print -quit 2>/dev/null)" ]; then
+  sbt -error compile 1>&2
+fi
+
+ADD_OPENS=(
+  java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect
+  java.base/java.io java.base/java.net java.base/java.nio
+  java.base/java.util java.base/java.util.concurrent
+  java.base/java.util.concurrent.atomic
+  java.base/sun.nio.ch java.base/sun.nio.cs
+  java.base/sun.security.action java.base/sun.util.calendar
+)
+OPENS_ARGS=()
+for p in "${ADD_OPENS[@]}"; do OPENS_ARGS+=(--add-opens "$p=ALL-UNNAMED"); done
+
+MAIN="$1"; shift
+exec java \
+  "${OPENS_ARGS[@]}" \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -cp "$CLASSES:/opt/spark/jars/*" \
+  "$MAIN" "$@"
