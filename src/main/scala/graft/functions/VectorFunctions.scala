@@ -5,18 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Embedding-vector primitives over `ArrayType(FloatType)` columns.
   *
-  * Dot products fold left-to-right in double precision
-  * (`zip_with` + `aggregate`) — sequential order matches DuckDB's
-  * `list_dot_product` over double lists, so oracle comparisons are
-  * bit-stable. All expression-level (codegen), no UDFs.
+  * Dot products fold left-to-right in double precision — sequential order
+  * matches DuckDB's `list_dot_product` over double lists, so oracle
+  * comparisons are bit-stable. All expression-level, no UDFs; the dot is
+  * a custom codegen expression ([[DotProductExpr]]) because the
+  * higher-order-function form (`aggregate(zip_with(...))`) evaluates
+  * interpreted per element — measured 2-4× slower end-to-end on the
+  * pair-join queries whose inner loop it is.
   */
 object VectorFunctions {
 
-  /** Double-precision dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Double-precision dot product of two float/double-array columns
+    * (codegen; bit-identical to the old zip_with+aggregate fold — see
+    * [[DotProductExpr]]'s exactness contract). */
+  def dot(a: Column, b: Column): Column = DotProductFn.dotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

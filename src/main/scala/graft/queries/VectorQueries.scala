@@ -140,11 +140,12 @@ object VectorQueries {
     e.select(col("vec_id"),
       V.quantize(col("embedding"), V.quantScale(col("embedding"))).as("qv"))
 
+  /** Squared distance to a constant centroid — the codegen expression
+    * ([[graft.functions.SqDistExpr]]); integer-identical to the old
+    * `aggregate(zip_with(...))` fold, which evaluated interpreted and
+    * dominated the flat fit's wall time (n·k of these per iteration). */
   private def distTo(cv: Array[Long]): Column =
-    aggregate(
-      zip_with(col("qv"), typedlit(cv.toSeq),
-        (a, b) => (a.cast("long") - b) * (a.cast("long") - b)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.SqDistFn.sqDist(col("qv"), cv)
 
   /** Nearest-centroid assignment (ties toward the lower cid): a narrow
     * map over the corpus — centroids are injected as literals, so no

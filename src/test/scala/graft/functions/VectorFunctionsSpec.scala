@@ -55,4 +55,48 @@ class VectorFunctionsSpec extends SparkSpec {
     val (_, _, q1, back1) = got(1L)
     assert(q1.forall(_ == 0) && back1.forall(_ == 0.0))
   }
+
+  test("codegen dot is bit-identical to the higher-order fold on random vectors") {
+    // the HOF formulation DotProductExpr replaced — any drift here would
+    // silently invalidate every cosine-based oracle hash
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val d = 1 + rnd.nextInt(96)
+      (i.toLong, Array.fill(d)((rnd.nextGaussian() * 10).toFloat),
+        Array.fill(d)((rnd.nextGaussian() * 10).toFloat))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.select(
+      V.dot(col("a"), col("b")).as("fast"), hofDot(col("a"), col("b")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0, "codegen dot must be bit-identical to the HOF fold")
+    // float × double-literal side (the lshBucket shape) stays exact too
+    val plane = Seq.fill(16)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val df2 = rows.filter(_._2.length >= 16)
+      .map(r => (r._1, r._2.take(16))).toDF("id", "a")
+    val diff2 = df2.select(
+      V.dot(col("a"), typedLit(plane)).as("fast"),
+      hofDot(col("a"), typedLit(plane)).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff2 == 0)
+  }
+
+  test("codegen dot null/length semantics mirror the zip_with fold") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),   // ok
+      (2L, Array(1.0f, 2.0f), Array(3.0f)),          // length mismatch -> null
+      (3L, Array(1.0f), Array(5.0f))                 // ok
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), V.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) == Some(11.0))
+    assert(got(2L) == None, "length mismatch must yield null like zip_with padding")
+    assert(got(3L) == Some(5.0))
+    val withNullArr = df.select(V.dot(lit(null).cast("array<float>"), col("b")).as("d"))
+      .collect()
+    assert(withNullArr.forall(_.isNullAt(0)), "null array -> null")
+  }
 }
