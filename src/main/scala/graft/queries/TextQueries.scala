@@ -124,7 +124,11 @@ object TextQueries {
     * signatures, the chunk join, and the Hamming filter bit-for-bit —
     * the hash match proves the ENGINE's candidate machinery, not just
     * recall on a lucky corpus (recall at Hamming 3 is the documented
-    * trade: only the tightest near-dups qualify). */
+    * trade: only the tightest near-dups qualify). Honest-wall note: with
+    * the noop-sink harness the ratio-3 WALL exponent reads ~1.65,
+    * finally agreeing with CandVol's ~2.0 chunk-collision volume (the
+    * old count()-based harness under-measured this query); q116 is the
+    * at-scale form (wall 0.87 on the same legs). */
   def q114SimhashManku(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     Dedup.verifiedJaccard(docs,

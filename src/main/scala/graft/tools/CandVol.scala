@@ -147,6 +147,14 @@ object CandVol {
       Dedup.minhashBandKeys(docs.filter(col("doc_id") % dmod =!= 0)),
       Dedup.minhashBandKeys(docs.filter(col("doc_id") % dmod === 0)),
       Seq("band", "band_hash"))
+    // q120: incremental-ingest dedup — the history-index probe (cross
+    // join, linear in the history for a fixed band scheme) plus the
+    // in-batch self-join, at the declared batch slice
+    val imod = graft.queries.TextQueries.IngestMod
+    val bh120 = Dedup.minhashBandKeys(docs.filter(col("doc_id") % imod =!= 0))
+    val bb120 = Dedup.minhashBandKeys(docs.filter(col("doc_id") % imod === 0))
+    val ingestCross = crossJoinVolume(bh120, bb120, Seq("band", "band_hash"))
+    val ingestWithin = selfJoinVolume(bb120, Seq("band", "band_hash"))
     // q115: pair work is confined to Lloyd clusters ≤ the size cap —
     // Σ over surviving clusters of C(pop, 2), from the operator's own
     // cluster assignment (semanticClusters — factored, not reimplemented)
@@ -175,6 +183,8 @@ object CandVol {
       ("q116_simhash_combo", sim116.toDouble),
       ("q97_prefix", prefix.toDouble),
       ("q119_cross_bands", cross.toDouble),
+      ("q120_hist_probe", ingestCross.toDouble),
+      ("q120_within_batch", ingestWithin.toDouble),
       ("q113_adaptive_probe", adVol.toDouble),
       ("q113_probe_cap8", adVolCap.toDouble),
       ("q113_n_planes", scheme.planesUsed.toDouble),
@@ -204,6 +214,7 @@ object CandVol {
     val volKeys = Seq("q34_cand_capped", "q34_cand_uncapped",
       "q35_minhash_bands", "q36_simhash_d12", "q114_simhash_manku",
       "q116_simhash_combo", "q97_prefix", "q119_cross_bands",
+      "q120_hist_probe", "q120_within_batch",
       "q113_adaptive_probe", "q113_probe_cap8", "q115_semantic_blocks")
     val legs = perDir.sliding(2).collect { case Seq((d1, v1), (d2, v2)) =>
       val m1 = v1.toMap; val m2 = v2.toMap
