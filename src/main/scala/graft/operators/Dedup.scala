@@ -188,10 +188,11 @@ object Dedup {
     // already carries; distinct() then shuffles only surviving
     // (id_a, id_b, est) triples instead of full signature pairs.
     cands
+      // codegen agreement count (EqCountExpr) — the interpreted
+      // zip_with fold ran k lambda evals per candidate pair
       .withColumn("est_jaccard", round(
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v) / lit(k.toDouble), 4))
+        graft.functions.EqCountFn.eqCount(col("sig_a"), col("sig_b"))
+          / lit(k.toDouble), 4))
       .filter(col("est_jaccard") >= minEstimate)
       .select("id_a", "id_b", "est_jaccard")
       .distinct()
@@ -433,15 +434,18 @@ object Dedup {
     * saltBuckets defaults LOWER than the chunk scheme's 16: salt should
     * size to the expected hot-bucket population, and 30-bit keys make
     * chance buckets ~2^15× smaller than 15-bit chunks — the residual
-    * hot keys are exact-/near-dup clusters, which salt 4 already
+    * hot keys are exact-/near-dup clusters, which a small salt already
     * spreads. Side B's replication is rows × C(nBlocks, nBlocks−maxDist)
     * × saltBuckets, so salt decides whether the 20-table fan-out costs
-    * 5× shuffle (measured at g10: salt 16 put this join's wall ABOVE
-    * the chunk join's despite 27× fewer candidates; salt 4 keeps
-    * per-doc side-B fan-out at 80 rows vs the chunk scheme's 64). */
+    * 5× shuffle (measured at g10, honest harness: salt 16 put this
+    * join's wall ABOVE the chunk join's despite 27× fewer candidates;
+    * salt 4 read ~61-95 s, salt 2 ~50-66 s, salt 1 ~53-57 s — salt 2 is
+    * the declared default: ~35% under salt 4 at depth, equal at small
+    * scale, and still 2-way spread on a genuinely hot dup-cluster key;
+    * per-doc side-B fan-out 40 rows vs the chunk scheme's 64). */
   def simhashPairsCombinatorial(docs: DataFrame, maxDist: Int = 3,
       nBlocks: Int = 6, idCol: String = "doc_id", textCol: String = "text",
-      saltBuckets: Int = 4, n: Int = 3): DataFrame =
+      saltBuckets: Int = 2, n: Int = 3): DataFrame =
     simhashKeyedJoin(
       simhashComboKeys(simhashDocsPortable(docs, idCol, textCol, n),
         maxDist, PortableSimHashBits, nBlocks),

@@ -23,7 +23,23 @@ object TimeQuery {
     val stages: Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
       "q115_clusters" -> ((s, d) => graft.queries.VectorQueries.semanticClusters(
-        graft.core.Tables.embeddings(s, d))))
+        graft.core.Tables.embeddings(s, d))),
+      // q116's salt dial (output-identical; salt only spreads the
+      // candidate join's hot keys): the declared default is 4 — probe 2
+      // and 1 at depth, where the side-B fan-out (20 combos × salt
+      // rows/doc) is the measured wall term
+      "q116_salt2" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccard(docs,
+          graft.operators.Dedup.simhashPairsCombinatorial(docs,
+            maxDist = 3, saltBuckets = 2), threshold = 0.5)
+      }),
+      "q116_salt1" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccard(docs,
+          graft.operators.Dedup.simhashPairsCombinatorial(docs,
+            maxDist = 3, saltBuckets = 1), threshold = 0.5)
+      }))
     val all = graft.SparkEntry.queries ++ stages
     names.foreach { name =>
       val fn = all.getOrElse(name, sys.error(s"unknown query $name"))

@@ -84,6 +84,27 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(diff2 == 0)
   }
 
+  test("codegen eq_count matches the HOF fold incl. null/length semantics") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 100).map { i =>
+      val d = 1 + rnd.nextInt(32)
+      // force frequent agreements: small value domain
+      (i.toLong, Array.fill(d)(rnd.nextInt(3).toLong), Array.fill(d)(rnd.nextInt(3).toLong))
+    }
+    val df = rows.toDF("id", "a", "b")
+    def hofEq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+    val diff = df.select(
+      graft.functions.EqCountFn.eqCount(col("a"), col("b")).as("fast"),
+      hofEq(col("a"), col("b")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0)
+    val mism = Seq((Array(1L, 2L), Array(1L))).toDF("a", "b")
+      .select(graft.functions.EqCountFn.eqCount(col("a"), col("b")).as("c")).head()
+    assert(mism.isNullAt(0), "length mismatch -> null like zip_with padding")
+  }
+
   test("codegen dot null/length semantics mirror the zip_with fold") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),   // ok
