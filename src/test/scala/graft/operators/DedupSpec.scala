@@ -449,6 +449,31 @@ class DedupSpec extends SparkSpec {
     assert(withGuard == without)
   }
 
+  test("incrementalNearDup: priorities, blame ids, and degenerate frames") {
+    // history: 10 (near-dups batch 2/3 family), 4 (unrelated)
+    val history = docs.filter(col("doc_id").isin(4L))
+      .unionByName(Seq((10L, "one two three four five six seven eight nine ten eleven twelve thirteen"))
+        .toDF("doc_id", "text"))
+    val batch = docs.filter(col("doc_id").isin(0L, 1L, 2L, 3L))
+    val got = Dedup.incrementalNearDup(history, batch, threshold = 0.5)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    // 2 and 3 near-dup history doc 10 -> dup_history beats the in-batch
+    // pair they also form; 0/1 differ in CASE, so raw-shingle Jaccard
+    // sees no overlap (only exact dedup's lowercased fingerprint joins
+    // them) -> both kept
+    assert(got == Seq(
+      (0L, "kept", -1L), (1L, "kept", -1L),
+      (2L, "dup_history", 10L), (3L, "dup_history", 10L)))
+    // empty batch -> empty verdict frame, no failure
+    assert(Dedup.incrementalNearDup(history, batch.limit(0)).count() == 0)
+    // empty history -> pure within-batch dedup (lower-id wins)
+    val noHist = Dedup.incrementalNearDup(batch.limit(0), batch, threshold = 0.5)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(noHist == Seq(
+      (0L, "kept", -1L), (1L, "kept", -1L),
+      (2L, "kept", -1L), (3L, "dup_batch", 2L)))
+  }
+
   test("prefix-filter bound holds on random corpora across thresholds") {
     // randomized trial of the SSJoin prefix theorem: on corpora designed
     // to produce borderline Jaccard values (tiny vocab, short docs), the
