@@ -276,22 +276,21 @@ object VectorQueries {
       (col("ccid") * k2 + col("fid")).cast("int").as("cid"))
   }
 
-  /** Nearest FINE centroid within each row's own coarse cell: a lazy
-    * CASE over ccid selects that cell's centroid family, so each row
-    * pays k2 distances, not k — the two-level scheme's whole point.
-    * Ties break (dist, fid) like [[assignedTo]]. */
+  /** Nearest FINE centroid within each row's own coarse cell, via ONE
+    * [[graft.functions.NearestCentroidExpr]] carrying the whole centroid
+    * table — each row pays k2 distances, not k (the two-level scheme's
+    * whole point), and the generated code is constant-size at any k.
+    * The previous Column formulation (array_min over a CASE of literal
+    * struct arrays) emitted k1·k2 sq_dist sub-expressions in one
+    * projection — at gen30 (484 of them) it blew janino's method limits
+    * and silently fell back to interpreted evaluation. Ties break
+    * (dist, fid) like [[assignedTo]] — the expression mirrors
+    * array_min's lexicographic struct-min exactly. */
   private def assignedFine(coarse: DataFrame,
       cents: Map[Int, Seq[(Int, Array[Long])]]): DataFrame = {
-    val arms = cents.toSeq.sortBy(_._1).map { case (ccid, cs) =>
-      (col("ccid") === ccid,
-        array(cs.map { case (fid, cv) =>
-          struct(distTo(cv).as("dist"), lit(fid).as("fid"))
-        }: _*))
-    }
-    val arr = arms.tail.foldLeft(when(arms.head._1, arms.head._2)) {
-      case (acc, (c, a)) => acc.when(c, a)
-    }
-    coarse.withColumn("m", array_min(arr))
+    val table = cents.map { case (c, cs) => c -> cs.sortBy(_._1).toArray }
+    coarse.withColumn("m", graft.functions.NearestCentroidFn.nearestCentroid(
+        col("ccid"), col("qv"), table))
       .select(col("vec_id"), col("qv"), col("ccid"),
         col("m.fid").as("fid"), col("m.dist").as("dist"))
   }
