@@ -17,6 +17,14 @@ import java.util.Locale
   * 17-70 s scheduler stalls on warm 1 s queries, so a median with the raw
   * per-run spread in `"raw"` lets the driver/judge see outliers instead
   * of being lied to by them.
+  *
+  * Harness era (VERDICT r6 §wrong 3): every record carries
+  * `"harness":"noop"` — timings materialize the FULL plan through
+  * [[graft.core.Sessions.materialize]]'s noop sink. Records WITHOUT the
+  * field (BENCH_r01–r05 and pre-r6 history lines) were timed via
+  * `df.count()`, which lets zero-column pruning delete prunable subtrees
+  * (q120 by 12×, q115 by 2×) — never compare per-query times across the
+  * two eras.
   */
 object Bench {
   /** Locale-pinned formatting: a comma decimal separator from the host
@@ -138,7 +146,7 @@ object Bench {
       .mkString("{", ",", "}")
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"raw":$raws,"ok":$oks,"all_ok":$allOk,"sentinel_floor":${fmt(sentFloor)},"sentinel_max":$sents,"stall_suspect":$suspectJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness":"noop","queries":$qs,"raw":$raws,"ok":$oks,"all_ok":$allOk,"sentinel_floor":${fmt(sentFloor)},"sentinel_max":$sents,"stall_suspect":$suspectJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     // Durable history (ADVICE r5): bench_out.json is overwritten every
     // run and the driver's archived artifact stays unparsed on rc!=0 —

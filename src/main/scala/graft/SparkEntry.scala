@@ -43,7 +43,15 @@ object SparkEntry {
     * appends the two asymptote-hardened forms (block-combination
     * simhash, probe-capped adaptive near-dup) plus cross-corpus
     * decontamination → 27, and the late session adds incremental-ingest
-    * dedup (the production corpus-update shape) → 28. */
+    * dedup (the production corpus-update shape) → 28.
+    *
+    * Scale framing (round 7, VERDICT r6 #1): within the simhash family
+    * q116 (block-combination tables, candidate volume ~1.00 on every
+    * measured decade) is THE at-scale form; q114 stays in the headline
+    * as the mid-corpus chunk dial (volume exponent ~2.0 by
+    * construction, constant 2⁻¹⁵) and for cross-round comparability.
+    * Likewise q113 is the exact-recall flagship near-dup and q117 its
+    * probe-capped at-scale dial. */
   def headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q07_multi_join",
     "q10_argmax_window", "q13_hindex", "q19_running_sum",

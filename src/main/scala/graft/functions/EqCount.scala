@@ -14,9 +14,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * interpreted `aggregate(zip_with(a, b, (x,y) => if(x==y) 1 else 0))`
   * fold with a static loop, same [[DotProductExpr]] rationale.
   *
-  * Exactness: integer equality and an int counter — trivially identical
-  * to the HOF form. Null/length semantics mirror it too: null array →
-  * null; length mismatch → null (zip_with pads); null element → null. */
+  * Exactness: integer equality and an int counter — identical to the HOF
+  * form on the only inputs minhashLsh produces (two non-null fixed-k
+  * signatures with no null elements). Off that domain the semantics are
+  * INTENTIONALLY STRICTER than the HOF fold, which zip_with-pads a length
+  * mismatch and counts nulls as disagreement: here null array → null,
+  * length mismatch → null, null element → null — a malformed signature
+  * pair surfaces as a null estimate instead of a silently-low count
+  * (ADVICE r6: the old scaladoc overstated parity with the HOF form). */
 object EqCountUtil {
   def eqCount(a: ArrayData, b: ArrayData): java.lang.Integer = {
     val n = a.numElements()

