@@ -249,11 +249,31 @@ object Dedup {
     * the q35/q119 pattern. */
   def incrementalNearDup(history: DataFrame, batch: DataFrame,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    incrementalNearDupIndexed(
+      minhashBandKeys(history, k, bands, n, idCol, textCol)
+        .select(col("band"), col("band_hash"), col("id")),
+      history, batch, threshold, k, bands, n, idCol, textCol)
+
+  /** [[incrementalNearDup]] with the history's band keys supplied as a
+    * MATERIALIZED INDEX frame — the form the streaming ingest path
+    * ([[graft.streaming.IncrementalDedup]]) runs every micro-batch: the
+    * index (schema = [[minhashBandKeys]] output: band, band_hash, id) is
+    * computed once per doc at its own ingest and persisted, so a new
+    * batch never re-signatures the corpus. `historyDocs` is the corpus
+    * registry (id, text); only docs that actually appear as candidates
+    * are fetched from it (left-semi on candidate ids) — verification
+    * cost is bounded by the candidate set, never the corpus. Output is
+    * identical to [[incrementalNearDup]] by construction (the batch form
+    * delegates here). */
+  def incrementalNearDupIndexed(historyBands: DataFrame,
+      historyDocs: DataFrame, batch: DataFrame,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // Each side is banded exactly ONCE (`bh` is the materialized-index
-    // frame in production; `bb` the per-ingest batch signatures), both
-    // candidate legs join those same frames, and ONE verify pass over
-    // the union serves both legs. `bb` and `cands` are localCheckpointed
+    // The batch side is banded exactly ONCE (`bb`, the per-ingest batch
+    // signatures; the history side arrives pre-banded), both candidate
+    // legs join those same frames, and ONE verify pass over the union
+    // serves both legs. `bb` and `cands` are localCheckpointed
     // (the ConnectedComponents.resolve pattern): each is referenced by
     // 2-3 downstream joins, and a lazy plan re-derives the whole
     // signature subtree per reference (measured in the plan audit: 32
@@ -261,8 +281,7 @@ object Dedup {
     // bounded by the BATCH side (|batch|·bands key rows; candidate id
     // pairs), never by the history — the asymmetry that makes the
     // checkpoint safe at any corpus size.
-    val bh = minhashBandKeys(history, k, bands, n, idCol, textCol)
-      .select(col("band"), col("band_hash"), col("id"))
+    val bh = historyBands
     val bb = minhashBandKeys(batch, k, bands, n, idCol, textCol)
       .select(col("band"), col("band_hash"), col("id"))
       .localCheckpoint()
@@ -278,7 +297,16 @@ object Dedup {
       .select("id_a", "id_b").distinct()
       .withColumn("src", lit("batch"))
     val cands = histCands.unionByName(batchCands).localCheckpoint()
-    val pairs = verifiedJaccard(history.unionByName(batch),
+    // Verification shingles only the docs that can appear in a verified
+    // pair: every candidate's id_b is a batch doc, and the history ids
+    // are exactly the hist-leg id_a values — left-semi against those
+    // keeps the verify pass candidate-bounded (shingling the WHOLE
+    // corpus registry per ingest would be a full-corpus rescan, the
+    // thing this operator exists to avoid).
+    val neededHist = historyDocs.join(
+      cands.filter(col("src") === "hist").select(col("id_a").as(idCol)),
+      Seq(idCol), "left_semi")
+    val pairs = verifiedJaccard(neededHist.unionByName(batch),
         cands.select("id_a", "id_b"), threshold, n, idCol, textCol)
       // ids are disjoint across the two frames (operator contract), so a
       // verified pair re-joins to exactly one tagged candidate row; the

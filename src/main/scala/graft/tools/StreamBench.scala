@@ -78,6 +78,77 @@ object StreamBench {
       ps.map(_.sink.numOutputRows).filter(_ >= 0).sum)
   }
 
+  /** Synthetic document stream for the incremental-dedup bench:
+    * deterministic token text from the row counter, with planted
+    * near-dups — every id ≡ 9 (mod 10) near-duplicates id−9 (same
+    * micro-batch when docsPerBatch is a multiple of 10) and every id ≡ 5
+    * (mod 10) past the second batch near-duplicates the doc two batches
+    * earlier (a HISTORY dup: exercises the persisted-index leg). The
+    * near-copy appends one marker token, so J ≈ 0.93 — above the 0.5
+    * verify threshold but not exact. */
+  def syntheticDocs(spark: SparkSession, docsPerBatch: Long) = {
+    val rpb = docsPerBatch
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", docsPerBatch)
+      .load()
+      .select(col("value").as("doc_id"))
+      .withColumn("base",
+        // −1 lands on an id ≡ 4 (mod 10), which is never itself
+        // rewritten — copying id−2·rpb (≡ 5) would chase a chain of
+        // rewrites and only match for the first two eligible batches
+        when(pmod(col("doc_id"), lit(10)) === 5 && col("doc_id") >= 2L * rpb,
+          col("doc_id") - 2L * rpb - 1)
+          .when(pmod(col("doc_id"), lit(10)) === 9, col("doc_id") - 9)
+          .otherwise(col("doc_id")))
+      .withColumn("text", concat(
+        array_join(transform(
+          sequence(lit(0L), pmod(xxhash64(col("base")), lit(21)) + 29),
+          j => concat(lit("w"), pmod(xxhash64(col("base"), j), lit(5000)))), " "),
+        when(col("base") =!= col("doc_id"),
+          concat(lit(" x"), col("doc_id"))).otherwise(lit(""))))
+      .select("doc_id", "text")
+  }
+
+  /** Measure the streaming incremental dedup (VERDICT r6 #7): docs/s
+    * over `nBatches` micro-batches through the foreachBatch +
+    * persisted-band-index path, per-batch wall trend (the flat-work
+    * claim: a batch's cost must not grow with the corpus beyond the
+    * index-scan term), index growth, and the zero-executor-state
+    * property (no stateful operator — the index on disk IS the state). */
+  def incrementalDedupBench(spark: SparkSession, docsPerBatch: Long = 5000L,
+      nBatches: Int = 12, timeoutMs: Long = 600000L): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("sb_incdedup").toString
+    val (indexDir, outDir) = (s"$tmp/index", s"$tmp/out")
+    val q = graft.streaming.IncrementalDedup.stream(
+      syntheticDocs(spark, docsPerBatch), indexDir, outDir,
+      s"$tmp/ckpt", threshold = 0.5)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (q.recentProgress.count(_.numInputRows > 0) < nBatches &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    q.stop(); q.awaitTermination()
+    val ps = q.recentProgress.filter(_.numInputRows > 0).take(nBatches)
+    require(ps.nonEmpty, s"no document batches within $timeoutMs ms")
+    val rows = ps.map(_.numInputRows).sum
+    val secs = ps.map(_.batchDuration).sum / 1000.0
+    val perBatch = ps.map(_.batchDuration / 1000.0)
+    // executor state: no stateful operator by construction
+    val stateOps = ps.map(_.stateOperators.length).sum
+    val indexRows = spark.read.parquet(s"$indexDir/bands").count()
+    val verdicts = spark.read.parquet(outDir)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    System.err.println(s"[streambench] incremental_dedup: $rows docs in " +
+      s"${fmt(secs)} s = ${fmt(rows / secs)} docs/s over ${ps.length} batches; " +
+      s"verdicts=$verdicts, index=$indexRows band rows, stateOps=$stateOps")
+    s""""incremental_dedup":{"rows":$rows,"sec":${fmt(secs)},""" +
+      s""""docs_per_sec":${fmt(rows / secs)},"batches":${ps.length},""" +
+      s""""batch_sec":${perBatch.map(fmt).mkString("[", ",", "]")},""" +
+      s""""index_band_rows":$indexRows,"executor_state_operators":$stateOps,""" +
+      s""""kept":${verdicts.getOrElse("kept", 0L)},""" +
+      s""""dup_history":${verdicts.getOrElse("dup_history", 0L)},""" +
+      s""""dup_batch":${verdicts.getOrElse("dup_batch", 0L)}}"""
+  }
+
   /** The synthetic event stream (see object doc for the shape). */
   def syntheticEvents(spark: SparkSession, rowsPerBatch: Long,
       nUsers: Int = 1000, burst: Int = 1000, msPerRow: Long = 100L) = {
@@ -134,8 +205,10 @@ object StreamBench {
           java.nio.file.Files.createTempDirectory("sb_dedup").toString)
         .start()
     }
+    val incJson = incrementalDedupBench(spark)
+
     val json = s"""{"metric":"stream_bench","rows_per_batch":$rowsPerBatch,""" +
-      s""""n_batches":$nBatches,$sessionJson,$dedupJson}"""
+      s""""n_batches":$nBatches,$sessionJson,$dedupJson,$incJson}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("streambench_out.json"), json + "\n")
     spark.stop()
