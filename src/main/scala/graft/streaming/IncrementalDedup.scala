@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,6 +19,10 @@ import graft.operators.Dedup
   *     MinHash band keys of batch N, schema = [[Dedup.minhashBandKeys]];
   *   - `docs/batch_id=N/`   (idCol LONG, textCol STRING) — the corpus
   *     registry, read back only for exact verification of candidates.
+  *   - `batch_id=-W/` (either side) — a COMPACTED GENERATION holding the
+  *     consolidated rows of every batch before W (see [[compactIndex]]).
+  *     Negative ids can never collide with stream batch ids, and every
+  *     `batch_id < N` history read naturally includes them.
   *
   * Exactly-once contract (the [[EventStreams.exactlyOnceParquetSink]]
   * pattern): Structured Streaming replays a crashed micro-batch with the
@@ -26,7 +30,11 @@ import graft.operators.Dedup
   * directory, and every history read filters `batch_id < N` — a replay
   * that finds its own half-written partitions simply ignores and
   * overwrites them. Verdicts are therefore deterministic per (stream,
-  * batch id) no matter how many times a batch is attempted.
+  * batch id) no matter how many times a batch is attempted. Compaction
+  * preserves the contract: generation −W is only ever consulted by reads
+  * with N >= W (it is created while batch W is in flight, and committed
+  * batches below W are never re-run), and for those reads it contributes
+  * exactly the batches 0..W−1 that `batch_id < N` demands.
   *
   * Scale shape at 100 TB/day: per micro-batch the work is |batch|
   * signature computations + one probe join of the batch's band keys
@@ -35,49 +43,96 @@ import graft.operators.Dedup
   * bounded by the candidate set ([[Dedup.incrementalNearDupIndexed]]'s
   * left-semi doc fetch). The EXECUTOR state is zero — no stateful
   * operator, no watermark, no state store: the only state is the on-disk
-  * index, which grows exactly one batch partition per micro-batch (it IS
-  * the corpus registry; appending `status = 'kept'` docs only — dedup
-  * the corpus as you go — is the one-line filter variant noted on
-  * [[processBatch]]). Nothing ever rescans or re-signatures history.
+  * index. Nothing ever rescans or re-signatures history; the one
+  * per-batch term that grows with the corpus is the columnar scan of the
+  * band index itself, which [[compactIndex]] keeps a dense few-file read
+  * instead of one small parquet directory per micro-batch ever ingested.
+  * All filesystem probing goes through the Hadoop FileSystem API
+  * (ADVICE r7: the earlier java.nio probe resolved only local paths, so
+  * an HDFS/S3 index silently deduped every batch against an EMPTY
+  * history).
   */
 object IncrementalDedup {
 
+  /** Hadoop filesystem + path of `dir` under the session's configuration
+    * — resolves local paths and HDFS/S3A/ABFS URIs alike. */
+  private def fsPath(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** batch_id partition values present under one index side: stream
+    * batches (>= 0) and compacted generations (< 0). */
+  private def partitionIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, p) = fsPath(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+  }
+
+  /** History predicate for a read as of batch `batchId`: stream batches
+    * strictly before it, plus any compacted generation −W whose coverage
+    * [0, W) lies within that range (W <= batchId — always true for the
+    * live stream, where generations are created while batch W is in
+    * flight; kept explicit so a read can never over-include). */
+  private def historyPred(batchId: Long): org.apache.spark.sql.Column =
+    (col("batch_id") >= 0 && col("batch_id") < batchId) ||
+      (col("batch_id") < 0 && -col("batch_id") <= batchId)
+
+  private def isHistoryId(id: Long, batchId: Long): Boolean =
+    (id >= 0 && id < batchId) || (id < 0 && -id <= batchId)
+
   /** Read one index side (bands/docs) as of BEFORE `batchId`, or None if
     * no prior batch has committed a partition yet (first batch / fresh
-    * index). The basePath option keeps `batch_id` as a partition column
-    * so the `< batchId` filter is partition-PRUNED, not scanned. */
+    * index — a genuinely reachable case: the check looks for partitions
+    * BELOW `batchId`, so the batch's own just-written partition doesn't
+    * mask an empty history). The basePath option keeps `batch_id` as a
+    * partition column so the history filter is partition-PRUNED, not
+    * scanned. */
   private def readIndexSide(spark: SparkSession, dir: String,
       batchId: Long): Option[DataFrame] = {
-    val p = Paths.get(dir)
-    val hasParts = Files.isDirectory(p) && {
-      val s = Files.list(p)
-      try s.anyMatch(_.getFileName.toString.startsWith("batch_id="))
-      finally s.close()
-    }
-    if (!hasParts) None
+    val hasHistory = partitionIds(spark, dir).exists(isHistoryId(_, batchId))
+    if (!hasHistory) None
     else Some(spark.read.option("basePath", dir).parquet(dir)
-      .filter(col("batch_id") < batchId)
+      .filter(historyPred(batchId))
       .drop("batch_id"))
   }
 
   /** Process one ingest batch against the on-disk index: write the
-    * batch's registry+band partitions, compute verdicts vs `batch_id <
-    * batchId` history, and return them. Idempotent on `batchId` (every
-    * write overwrites its own partition; every read excludes partitions
-    * at or after `batchId`).
+    * batch's registry+band partitions, compute verdicts vs history
+    * (`batch_id < batchId`), and return them. Idempotent on `batchId`
+    * (every write overwrites its own partition; every read excludes
+    * partitions at or after `batchId`).
     *
     * The batch frame is written FIRST and re-read from its own parquet
     * partition: foreachBatch hands a view that re-executes per action,
     * and this operator references the batch in four places (band keys,
     * both verify legs, the final left joins) — one write pins one
     * consistent, re-scannable copy, which is also what makes a crash
-    * replay byte-deterministic. To dedup the corpus as you go (history =
-    * kept docs only), filter the returned verdicts and rewrite the two
-    * partitions — the index schema doesn't change. */
+    * replay byte-deterministic.
+    *
+    * `keptOnlyHistory` picks the index-growth semantics (VERDICT r7 #5):
+    *  - `false` (default): the index registers EVERY processed doc, so a
+    *    later ingest is compared against everything ever seen —
+    *    transitive-chain collapse (A≈B≈C with B dropped still drops C via
+    *    B), matching the batch pipeline's connected-components keep-set.
+    *    Index size grows with total ingest.
+    *  - `true` (dedup-as-you-go): after verdicts are computed, the
+    *    batch's index partitions are rewritten to KEPT docs only, so
+    *    history is the retained corpus — greedy representative matching
+    *    (C is kept unless it matches a doc that was itself kept; chains
+    *    do NOT collapse through dropped intermediates). Index size is
+    *    bounded by the kept corpus — the 100 TB index-size lever — at
+    *    the cost of less aggressive chain dedup. Replay-deterministic:
+    *    a replay rewrites the full partitions, recomputes the same
+    *    verdicts (history below `batchId` is unchanged), and re-filters.
+    */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexDir: String, threshold: Double = 0.5, k: Int = 16,
       bands: Int = 4, n: Int = 3, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      keptOnlyHistory: Boolean = false): DataFrame = {
     val bandsDir = s"$indexDir/bands"
     val docsDir = s"$indexDir/docs"
     batch.select(col(idCol), col(textCol))
@@ -88,35 +143,132 @@ object IncrementalDedup {
       .write.mode("overwrite").parquet(s"$bandsDir/batch_id=$batchId")
     val histBands = readIndexSide(spark, bandsDir, batchId)
     val histDocs = readIndexSide(spark, docsDir, batchId)
-    (histBands, histDocs) match {
+    val verdicts = (histBands, histDocs) match {
       case (Some(hb), Some(hd)) =>
         Dedup.incrementalNearDupIndexed(
           // the persisted keys, never recomputed — the index contract
           hb, hd, pinned, threshold, k, bands, n, idCol, textCol)
       case _ =>
-        // first batch: empty history — every verdict is within-batch
+        // genuinely the first batch (no partition below batchId exists):
+        // empty history — every verdict is within-batch
         Dedup.incrementalNearDup(pinned.limit(0), pinned, threshold, k,
           bands, n, idCol, textCol)
     }
+    if (!keptOnlyHistory) verdicts
+    else {
+      // Materialize the verdicts BEFORE rewriting the partitions their
+      // plan reads (overwriting a directory a lazy plan still scans is a
+      // torn-read hazard), then shrink the batch's index partitions to
+      // the kept docs. A crash between the two rewrites is benign: a
+      // dropped doc whose band keys linger but whose registry row is
+      // gone can surface as a candidate but never as a verified pair
+      // (no shingles to match), which is exactly kept-only semantics.
+      val out = verdicts.localCheckpoint()
+      val keptIds = out.filter(col("status") === "kept").select(col(idCol))
+      val keptDocs = pinned.join(keptIds, Seq(idCol), "left_semi")
+        .localCheckpoint()
+      keptDocs.write.mode("overwrite").parquet(s"$docsDir/batch_id=$batchId")
+      val keptBands = spark.read.parquet(s"$bandsDir/batch_id=$batchId")
+        .join(keptIds.withColumnRenamed(idCol, "id"), Seq("id"), "left_semi")
+        .select(col("band"), col("band_hash"), col("id"))
+        .localCheckpoint()
+      keptBands.write.mode("overwrite").parquet(s"$bandsDir/batch_id=$batchId")
+      keptDocs.unpersist(false)
+      keptBands.unpersist(false)
+      out
+    }
+  }
+
+  /** Fold every index partition strictly before `upToBatchId` — stream
+    * batches 0..upTo−1 plus any older compacted generation — into ONE
+    * consolidated generation partition `batch_id=−upTo` per side, then
+    * delete the sources. Without this the index accumulates one parquet
+    * directory per micro-batch forever, and the per-batch history probe
+    * degrades into a many-small-files listing+open storm (the VERDICT r7
+    * #1 gap); after compaction the history scan is a dense few-file
+    * columnar read no matter how many batches have ever run.
+    *
+    * Correctness/crash contract, piece by piece:
+    *  - a generation id is NEGATIVE, so it can never collide with a
+    *    stream batch id, every `batch_id < N` read includes it, and
+    *    [[historyPred]]'s `−id <= N` guard makes its coverage explicit;
+    *  - the consolidated write lands in a FRESH directory (no compaction
+    *    ever overwrites a partition that is the sole holder of data);
+    *    sources are deleted only after that write committed (_SUCCESS);
+    *  - therefore every crash window leaves the index a SUPERSET of the
+    *    true history (a committed generation plus not-yet-deleted
+    *    sources). Duplicate index rows are semantically inert by
+    *    construction of the operator: candidate pairs are `distinct()`ed
+    *    after the band join, and verification shingles are distinct per
+    *    (id, shingle) — asserted by the duplicate-tolerance spec;
+    *  - re-running compaction at the same `upTo` is idempotent: a
+    *    committed generation skips the write and only finishes the
+    *    source deletes (whose content it provably contains — sources
+    *    below upTo can only have existed before the generation was
+    *    written, since batch ids are monotone).
+    *
+    * Call it only with `upToBatchId` at or below the id of the batch
+    * currently in flight (the [[stream]] wiring uses the in-flight id
+    * itself): committed batches below it are never replayed, so no
+    * future read needs the pre-compaction layout. */
+  def compactIndex(spark: SparkSession, indexDir: String, upToBatchId: Long,
+      targetRecordsPerFile: Long = 4000000L): Unit = {
+    require(upToBatchId > 0, s"upToBatchId must be positive, got $upToBatchId")
+    Seq("bands", "docs").foreach { side =>
+      compactSide(spark, s"$indexDir/$side", upToBatchId, targetRecordsPerFile)
+    }
+  }
+
+  private def compactSide(spark: SparkSession, dir: String, upTo: Long,
+      targetRecordsPerFile: Long): Unit = {
+    val (fs, _) = fsPath(spark, dir)
+    // sources: stream batches below upTo, and STRICTLY OLDER generations
+    // (−id < upTo). The target generation itself is never a source.
+    val sources = partitionIds(spark, dir)
+      .filter(id => (id >= 0 && id < upTo) || (id < 0 && -id < upTo))
+    if (sources.isEmpty) return
+    val genPath = new Path(s"$dir/batch_id=${-upTo}")
+    if (!fs.exists(new Path(genPath, "_SUCCESS"))) {
+      // mode=overwrite clears any uncommitted garbage from a crashed
+      // attempt; the read targets explicit source directories, never the
+      // generation being written, so there is no read-what-you-overwrite
+      // hazard and no checkpoint is needed.
+      val src = spark.read.parquet(sources.map(id => s"$dir/batch_id=$id"): _*)
+      val rows = src.count()
+      val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+      src.coalesce(nFiles.toInt)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRecordsPerFile)
+        .parquet(genPath.toString)
+    }
+    sources.foreach(id => fs.delete(new Path(s"$dir/batch_id=$id"), true))
   }
 
   /** Wire a streaming (idCol, textCol) document frame through
     * [[processBatch]]: verdicts for micro-batch N land in
     * `outDir/batch_id=N` (overwrite → exactly-once observable output),
-    * and the index under `indexDir` grows one partition per batch. */
+    * and the index under `indexDir` grows one partition per batch.
+    * `compactEvery > 0` runs [[compactIndex]] after every
+    * `compactEvery`-th batch (upTo = the in-flight id, so only committed
+    * history is folded); `keptOnlyHistory` selects the dedup-as-you-go
+    * index semantics (see [[processBatch]]). */
   def stream(docs: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.5, k: Int = 16,
       bands: Int = 4, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text",
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      compactEvery: Int = 0,
+      keptOnlyHistory: Boolean = false): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
         processBatch(b.sparkSession, b, id, indexDir, threshold, k,
-          bands, n, idCol, textCol)
+          bands, n, idCol, textCol, keptOnlyHistory)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          compactIndex(b.sparkSession, indexDir, id)
         ()
       }
       .start()

@@ -109,41 +109,112 @@ object StreamBench {
       .select("doc_id", "text")
   }
 
-  /** Measure the streaming incremental dedup (VERDICT r6 #7): docs/s
-    * over `nBatches` micro-batches through the foreachBatch +
-    * persisted-band-index path, per-batch wall trend (the flat-work
-    * claim: a batch's cost must not grow with the corpus beyond the
-    * index-scan term), index growth, and the zero-executor-state
-    * property (no stateful operator — the index on disk IS the state). */
-  def incrementalDedupBench(spark: SparkSession, docsPerBatch: Long = 5000L,
-      nBatches: Int = 12, timeoutMs: Long = 600000L): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("sb_incdedup").toString
+  /** Parquet data-file count under `dir` — the probe's read surface
+    * (each file is an open+footer parse per history scan). */
+  private def countParquetFiles(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+  }
+
+  private case class BatchRec(id: Long, ingestSec: Double, dedupSec: Double,
+      compactSec: Double, preBandFiles: Int)
+
+  /** Measure the streaming incremental dedup (VERDICT r6 #7, long-run
+    * evidence VERDICT r7 #2): `nBatches` micro-batches through the
+    * foreachBatch + persisted-band-index path, with the per-batch wall
+    * DECOMPOSED inside foreachBatch —
+    *   - `ingest_sec`: signature computation + the batch's own index
+    *     partition writes (batch-local; must be flat by construction);
+    *   - `dedup_sec`: the history band probe + candidate verification +
+    *     verdict write (the term that could grow with the corpus: its
+    *     only corpus-dependent cost is the columnar index scan);
+    *   - `compact_sec`: [[graft.streaming.IncrementalDedup.compactIndex]]
+    *     when `compactEvery` > 0 (amortized; 0 on non-compacting
+    *     batches);
+    * plus `pre_band_files`, the band-index parquet file count each batch
+    * probes — the many-small-files growth compaction exists to stop.
+    *
+    * Batch completions are counted by the instrumented foreachBatch
+    * itself (ADVICE r7: `recentProgress` is a bounded ring buffer —
+    * default 100 — so polling it undercounts past the retention limit
+    * and silently measures "last N" instead of "first N"). The body
+    * mirrors [[graft.streaming.IncrementalDedup.stream]]'s wiring
+    * exactly (same writes, same compaction trigger), adding only
+    * timestamps. */
+  def incrementalDedupRun(spark: SparkSession, docsPerBatch: Long,
+      nBatches: Int, compactEvery: Int, label: String,
+      timeoutMs: Long = 3600000L): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"sb_$label").toString
     val (indexDir, outDir) = (s"$tmp/index", s"$tmp/out")
-    val q = graft.streaming.IncrementalDedup.stream(
-      syntheticDocs(spark, docsPerBatch), indexDir, outDir,
-      s"$tmp/ckpt", threshold = 0.5)
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (q.recentProgress.count(_.numInputRows > 0) < nBatches &&
-        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    val recs = scala.collection.mutable.ArrayBuffer.empty[BatchRec]
+    val done = new java.util.concurrent.CountDownLatch(nBatches)
+    val q = syntheticDocs(spark, docsPerBatch).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val enough = recs.synchronized { recs.length >= nBatches }
+        if (!enough) {
+          val pre = countParquetFiles(b.sparkSession, s"$indexDir/bands")
+          val t0 = System.nanoTime()
+          val v = graft.streaming.IncrementalDedup.processBatch(
+            b.sparkSession, b, id, indexDir, threshold = 0.5)
+          val t1 = System.nanoTime()
+          v.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+          val t2 = System.nanoTime()
+          if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+            graft.streaming.IncrementalDedup.compactIndex(
+              b.sparkSession, indexDir, id)
+          val t3 = System.nanoTime()
+          recs.synchronized {
+            recs += BatchRec(id, (t1 - t0) / 1e9, (t2 - t1) / 1e9,
+              (t3 - t2) / 1e9, pre)
+          }
+          done.countDown()
+        }
+        ()
+      }
+      .start()
+    val finished = done.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     q.stop(); q.awaitTermination()
-    val ps = q.recentProgress.filter(_.numInputRows > 0).take(nBatches)
-    require(ps.nonEmpty, s"no document batches within $timeoutMs ms")
-    val rows = ps.map(_.numInputRows).sum
-    val secs = ps.map(_.batchDuration).sum / 1000.0
-    val perBatch = ps.map(_.batchDuration / 1000.0)
-    // executor state: no stateful operator by construction
-    val stateOps = ps.map(_.stateOperators.length).sum
+    require(finished, s"only ${recs.length}/$nBatches batches within $timeoutMs ms")
+    val rs = recs.synchronized { recs.sortBy(_.id).take(nBatches).toSeq }
+    val batchSec = rs.map(r => r.ingestSec + r.dedupSec)
+    val rows = docsPerBatch * rs.length
+    val secs = batchSec.sum + rs.map(_.compactSec).sum
+    def p50(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply((xs.size - 1) / 2)
+    // growth statistic: p50 per-batch wall of the 2nd vs 1st half
+    // (warm-up batches 0-1 excluded) — ~1.0 means flat per-batch cost
+    val steady = batchSec.drop(2)
+    val (h1, h2) = steady.splitAt(steady.length / 2)
     val indexRows = spark.read.parquet(s"$indexDir/bands").count()
     val verdicts = spark.read.parquet(outDir)
       .groupBy("status").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    System.err.println(s"[streambench] incremental_dedup: $rows docs in " +
-      s"${fmt(secs)} s = ${fmt(rows / secs)} docs/s over ${ps.length} batches; " +
-      s"verdicts=$verdicts, index=$indexRows band rows, stateOps=$stateOps")
-    s""""incremental_dedup":{"rows":$rows,"sec":${fmt(secs)},""" +
-      s""""docs_per_sec":${fmt(rows / secs)},"batches":${ps.length},""" +
-      s""""batch_sec":${perBatch.map(fmt).mkString("[", ",", "]")},""" +
-      s""""index_band_rows":$indexRows,"executor_state_operators":$stateOps,""" +
+    System.err.println(s"[streambench] $label: $rows docs in ${fmt(secs)} s " +
+      s"= ${fmt(rows / secs)} docs/s over ${rs.length} batches; " +
+      s"p50 half1 ${fmt(p50(h1))} half2 ${fmt(p50(h2))}; verdicts=$verdicts; " +
+      s"band files ${rs.last.preBandFiles} -> ${countParquetFiles(spark, s"$indexDir/bands")}")
+    s""""$label":{"rows":$rows,"sec":${fmt(secs)},""" +
+      s""""docs_per_sec":${fmt(rows / secs)},"batches":${rs.length},""" +
+      s""""docs_per_batch":$docsPerBatch,"compact_every":$compactEvery,""" +
+      s""""batch_sec":${batchSec.map(fmt).mkString("[", ",", "]")},""" +
+      s""""ingest_sec":${rs.map(r => fmt(r.ingestSec)).mkString("[", ",", "]")},""" +
+      s""""dedup_sec":${rs.map(r => fmt(r.dedupSec)).mkString("[", ",", "]")},""" +
+      s""""compact_sec":${rs.map(r => fmt(r.compactSec)).mkString("[", ",", "]")},""" +
+      s""""pre_band_files":${rs.map(_.preBandFiles).mkString("[", ",", "]")},""" +
+      s""""p50_batch_sec_half1":${fmt(p50(h1))},"p50_batch_sec_half2":${fmt(p50(h2))},""" +
+      s""""index_band_rows":$indexRows,""" +
       s""""kept":${verdicts.getOrElse("kept", 0L)},""" +
       s""""dup_history":${verdicts.getOrElse("dup_history", 0L)},""" +
       s""""dup_batch":${verdicts.getOrElse("dup_batch", 0L)}}"""
@@ -165,6 +236,25 @@ object StreamBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // long-run mode (VERDICT r7 #2): the incremental-dedup path alone,
+    // 100+ batches, with and without compaction, per-batch decomposition
+    if (args.headOption.contains("longrun")) {
+      val docsPerBatch = args.lift(1).map(_.toLong).getOrElse(2000L)
+      val nBatches = args.lift(2).map(_.toInt).getOrElse(120)
+      val compactEvery = args.lift(3).map(_.toInt).getOrElse(20)
+      val spark = Sessions.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-streambench")
+      val noCompact = incrementalDedupRun(spark, docsPerBatch, nBatches,
+        compactEvery = 0, label = "longrun_nocompact")
+      val withCompact = incrementalDedupRun(spark, docsPerBatch, nBatches,
+        compactEvery = compactEvery, label = "longrun_compact")
+      val json = s"""{"metric":"stream_longrun",$noCompact,$withCompact}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("streambench_longrun_out.json"), json + "\n")
+      spark.stop()
+      println(json)
+      return
+    }
     val rowsPerBatch = args.headOption.map(_.toLong).getOrElse(200000L)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(25)
     val spark = Sessions.local(
@@ -205,7 +295,8 @@ object StreamBench {
           java.nio.file.Files.createTempDirectory("sb_dedup").toString)
         .start()
     }
-    val incJson = incrementalDedupBench(spark)
+    val incJson = incrementalDedupRun(spark, docsPerBatch = 5000L,
+      nBatches = 12, compactEvery = 0, label = "incremental_dedup")
 
     val json = s"""{"metric":"stream_bench","rows_per_batch":$rowsPerBatch,""" +
       s""""n_batches":$nBatches,$sessionJson,$dedupJson,$incJson}"""

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.core.Tables
+import graft.core.{Sessions, Tables}
 import graft.operators.Dedup
 
 /** Top-level so Catalyst can generate its encoder (inner classes can't
@@ -46,11 +46,16 @@ class IncrementalDedupStreamSpec extends SparkSpec {
       (s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
     val sl = slices
     val mem = MemoryStream[Doc]
+    // compactEvery = 2: batch 2's foreachBatch folds batches 0-1 into
+    // generation -2 through the PRODUCTION wiring (reads THROUGH a
+    // generation are covered by the dedicated compaction test below)
     val q = IncrementalDedup.stream(mem.toDF(), indexDir, outDir, ckpt,
-      threshold = 0.5)
+      threshold = 0.5, compactEvery = 2)
     try {
       sl.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
     } finally q.stop()
+    assert(new java.io.File(s"$indexDir/bands/batch_id=-2").isDirectory,
+      "stream wiring did not compact at batch 2")
 
     // batch twin per slice: history = all docs of the EARLIER slices
     // (the registry appends every processed doc, kept or dup)
@@ -84,5 +89,115 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     assert(sortedRows(replay) == r1)
     // and batch 0's verdicts were computed against an EMPTY history
     assert(r0.forall(v => v._2 == "kept" || v._2 == "dup_batch"))
+  }
+
+  private def partitionNames(dir: String): Set[String] = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) Set.empty
+    else d.listFiles().filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+  }
+
+  private def dataFileCount(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(dir))
+  }
+
+  test("compaction preserves verdicts, survives replay, and shrinks the index") {
+    val sl = slices
+    val tmpA = Files.createTempDirectory("incdedup_nocompact").toString
+    val tmpB = Files.createTempDirectory("incdedup_compact").toString
+    // reference run: no compaction
+    val ref = sl.zipWithIndex.map { case (s, i) =>
+      sortedRows(IncrementalDedup.processBatch(spark, s.toDF(), i.toLong, tmpA))
+    }
+    // compacted run: fold history after batch 1 (upTo = 2, the NEXT
+    // in-flight id, as the stream wiring does) — batch 2 then reads its
+    // history through the generation partition
+    val got = sl.zipWithIndex.map { case (s, i) =>
+      val rows = sortedRows(IncrementalDedup.processBatch(spark, s.toDF(), i.toLong, tmpB))
+      if (i == 1) IncrementalDedup.compactIndex(spark, tmpB, 2L)
+      rows
+    }
+    assert(got == ref, "compaction changed a verdict")
+    assert(partitionNames(s"$tmpB/bands") == Set("batch_id=-2", "batch_id=2"))
+    assert(partitionNames(s"$tmpB/docs") == Set("batch_id=-2", "batch_id=2"))
+    // a batch AFTER compaction still sees the full history through the
+    // generation partition: its verdicts match a fresh uncompacted twin
+    val extra = sl.head.map(d => Doc(d.doc_id + 1000000L, d.text))
+    val viaGen = sortedRows(
+      IncrementalDedup.processBatch(spark, extra.toDF(), 3L, tmpB))
+    val viaParts = sortedRows(
+      IncrementalDedup.processBatch(spark, extra.toDF(), 3L, tmpA))
+    assert(viaGen == viaParts, "generation read diverged from partition read")
+    // compaction while batch 3 is in flight (upTo = 3: folds generation
+    // -2 and batch 2), then crash-replay of batch 3 — the valid replay
+    // scenario — must resolve its history identically through the new
+    // generation
+    IncrementalDedup.compactIndex(spark, tmpB, 3L)
+    val replay = sortedRows(
+      IncrementalDedup.processBatch(spark, extra.toDF(), 3L, tmpB))
+    assert(replay == viaGen, "replay across compaction diverged")
+    // re-running compaction at the same upTo is an idempotent no-op
+    IncrementalDedup.compactIndex(spark, tmpB, 3L)
+    assert(partitionNames(s"$tmpB/bands") == Set("batch_id=-3", "batch_id=3"))
+    assert(dataFileCount(s"$tmpB/bands") < dataFileCount(s"$tmpA/bands"),
+      "compaction should reduce the band index file count")
+  }
+
+  test("duplicate index rows are semantically inert (crash-window contract)") {
+    // compaction's only crash residue is a committed generation PLUS
+    // not-yet-deleted source partitions — i.e. every history row
+    // duplicated. Simulate exactly that and assert verdicts unchanged.
+    val sl = slices.take(2)
+    val tmp = Files.createTempDirectory("incdedup_dup").toString
+    val r0 = IncrementalDedup.processBatch(spark, sl.head.toDF(), 0L, tmp)
+    Sessions.materialize(r0)
+    val clean = sortedRows(IncrementalDedup.processBatch(spark, sl(1).toDF(), 1L, tmp))
+    // duplicate batch 0's partitions wholesale into a fake generation
+    for (side <- Seq("bands", "docs")) {
+      val src = spark.read.parquet(s"$tmp/$side/batch_id=0")
+      src.write.mode("overwrite").parquet(s"$tmp/$side/batch_id=-1")
+    }
+    val withDups = sortedRows(IncrementalDedup.processBatch(spark, sl(1).toDF(), 1L, tmp))
+    assert(withDups == clean, "duplicated history rows changed a verdict")
+  }
+
+  test("keptOnlyHistory gives representative-only matching (A~B~C chains)") {
+    // Chain fixture: A ~ B (J >= 0.5), B ~ C, but A vs C below threshold.
+    // Batch 0 = {A, B}: B is dup_batch of A and (in kept-only mode)
+    // leaves the index. Batch 1 = {C}:
+    //   default: history = {A, B} -> C is dup_history of B (transitive
+    //            chain collapse, the batch-CC keep-set semantics);
+    //   kept-only: history = {A} -> C is KEPT (greedy representative
+    //            matching; the index holds only the retained corpus).
+    // Sliding 32-token windows with stride 6: adjacent windows share 24
+    // of 36 distinct 3-gram shingles (J = 0.667 >= 0.5), windows two
+    // apart share 18 of 42 (J = 0.429 < 0.5). bands = 8 (2 rows each)
+    // keeps candidate recall high at J = 0.667 (P[band match] = J^2,
+    // eight tries) — the A-C candidate may also surface, but exact
+    // verification rejects it, which is the operator's exactness
+    // contract.
+    val toks = (0 until 44).map(i => s"t$i")
+    val a = Doc(1L, toks.slice(0, 32).mkString(" "))
+    val b = Doc(2L, toks.slice(6, 38).mkString(" "))
+    val c = Doc(3L, toks.slice(12, 44).mkString(" "))
+    for ((keptOnly, expectC) <- Seq(false -> "dup_history", true -> "kept")) {
+      val tmp = Files.createTempDirectory(s"incdedup_kept_$keptOnly").toString
+      val r0 = IncrementalDedup.processBatch(spark, Seq(a, b).toDF(), 0L, tmp,
+        bands = 8, keptOnlyHistory = keptOnly)
+      Sessions.materialize(r0)
+      assert(sortedRows(r0) == Seq((1L, "kept", -1L), (2L, "dup_batch", 1L)))
+      if (keptOnly) {
+        // the dropped doc left the index
+        val reg = spark.read.parquet(s"$tmp/docs/batch_id=0")
+        assert(reg.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+      }
+      val r1 = sortedRows(IncrementalDedup.processBatch(spark, Seq(c).toDF(), 1L, tmp,
+        bands = 8, keptOnlyHistory = keptOnly))
+      assert(r1.head._2 == expectC,
+        s"keptOnlyHistory=$keptOnly: expected C=$expectC, got ${r1.head}")
+    }
   }
 }

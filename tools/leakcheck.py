@@ -58,8 +58,13 @@ def main():
         p = ROOT / rel
         if p.suffix not in EXTS or not p.is_file():
             continue
-        # the sweep's own pattern definitions would self-match
-        if rel == "tools/leakcheck.py":
+        # the sweep's own pattern definitions would self-match, and its
+        # output artifacts quote hit lines verbatim — scanning them would
+        # re-flag a quoted line forever after the source was fixed
+        # (ADVICE r7), including the caller-chosen outJson
+        if rel == "tools/leakcheck.py" or rel.startswith("LEAKCHECK"):
+            continue
+        if str(p) == str(pathlib.Path(out).resolve()):
             continue
         scanned += 1
         try:
