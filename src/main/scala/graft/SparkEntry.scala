@@ -45,13 +45,16 @@ object SparkEntry {
     * decontamination → 27, and the late session adds incremental-ingest
     * dedup (the production corpus-update shape) → 28.
     *
-    * Scale framing (round 7, VERDICT r6 #1): within the simhash family
-    * q116 (block-combination tables, candidate volume ~1.00 on every
-    * measured decade) is THE at-scale form; q114 stays in the headline
-    * as the mid-corpus chunk dial (volume exponent ~2.0 by
-    * construction, constant 2⁻¹⁵) and for cross-round comparability.
-    * Likewise q113 is the exact-recall flagship near-dup and q117 its
-    * probe-capped at-scale dial. */
+    * Scale framing (round 8, VERDICT r7 #4 closing the r6 #1 re-scope):
+    * the headline carries only NON-QUADRATIC simhash forms — q116
+    * (block-combination tables, volume ~1.00 on every measured decade)
+    * and q122 (recursive permuted tables, 16 tables on 27-bit keys, the
+    * low-fan-out variant). The chunk-scheme dials q36/q114 (volume
+    * exponent ~2.0 by construction, constant 2⁻¹⁵, honest envelope
+    * ~10⁶ docs) left the headline in round 8 but remain DECLARED and
+    * oracled — their md5-portable mechanism oracles are the family's
+    * strongest machinery proof. Likewise q113 is the exact-recall
+    * flagship near-dup and q117 its probe-capped at-scale dial. */
   def headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_agg", "q07_multi_join",
     "q10_argmax_window", "q13_hindex", "q19_running_sum",
@@ -60,8 +63,8 @@ object SparkEntry {
     "q40_embed_neardup", "q44_dedup_clusters", "q50_contamination",
     "q54_pack_shards", "q68_pagerank", "q74_triangles",
     "q97_prefix_join", "q99_kmeans", "q100_pipeline_e2e",
-    "q113_embed_neardup_adaptive", "q114_simhash_manku",
-    "q115_semantic_dedup", "q116_simhash_combos",
-    "q117_embed_neardup_capped", "q119_fuzzy_decontam",
-    "q120_incremental_dedup")
+    "q113_embed_neardup_adaptive", "q115_semantic_dedup",
+    "q116_simhash_combos", "q117_embed_neardup_capped",
+    "q119_fuzzy_decontam", "q120_incremental_dedup",
+    "q122_simhash_permuted")
 }

@@ -526,6 +526,99 @@ object Dedup {
       posexplode(array(keyExprs: _*)).as(Seq("combo_idx", "combo_key")))
   }
 
+  /** SimHash candidates via Manku's RECURSIVE permuted-table scheme
+    * (WWW'07 §3.1.1's other table design, declared as q122) — the
+    * LOW-FAN-OUT non-quadratic simhash: where
+    * [[simhashPairsCombinatorial]] pays C(6,3) = 20 tables for its
+    * 30-bit keys, the recursive split reaches a comparable key width
+    * with `nOuter × nInner` = 16 tables. Construction: split the
+    * signature into `nOuter` balanced blocks; for each choice of one
+    * outer block i (the "permutation" that leads with it), split the
+    * REMAINING bits into `nInner` balanced sub-blocks and choose one, j.
+    * Table (i, j)'s key packs block i's bits followed by sub-block j's
+    * bits — 15 + 12 = 27 bits at the 60-bit defaults.
+    *
+    * Exactness (double pigeonhole): a pair within Hamming `maxDist` has
+    * ≤ maxDist dirty outer blocks out of nOuter > maxDist, so some
+    * outer block i is untouched on both sides; its complement carries
+    * all ≤ maxDist differing bits, which dirty ≤ maxDist of the
+    * nInner > maxDist sub-blocks, so some sub-block j is untouched too —
+    * the pair meets in table (i, j). Conversely the Hamming filter
+    * removes chance key agreements, so the output is exactly the
+    * Hamming ≤ maxDist pairs — same contract as the chunk and
+    * combination schemes (asserted by the three-scheme equivalence
+    * spec).
+    *
+    * Scale position within the family: per-table chance collisions are
+    * ~n²/2^27 (vs 2^30 for q116's 20 tables and 2^15 for q114's 4) —
+    * 8× the combination scheme's constant for 20% less fan-out and a
+    * simpler two-level key, and still ~4000× below the chunk dial; the
+    * candidate volume stays ~1.0 on every measured corpus
+    * (CANDVOL_r08). Side-B replication is nOuter·nInner·saltBuckets =
+    * 32 rows/doc at the defaults (q116 at salt 2: 40). */
+  def simhashPairsPermuted(docs: DataFrame, maxDist: Int = 3,
+      nOuter: Int = 4, nInner: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text",
+      saltBuckets: Int = 2, n: Int = 3): DataFrame =
+    simhashKeyedJoin(
+      simhashPermutedKeys(simhashDocsPortable(docs, idCol, textCol, n),
+        maxDist, PortableSimHashBits, nOuter, nInner),
+      "tbl_idx", "tbl_key", maxDist, saltBuckets)
+
+  /** Bit segments of [[simhashPairsPermuted]]'s nOuter·nInner tables, in
+    * table order (i major, j minor): each table is a list of (offset,
+    * width) runs of the ORIGINAL signature to pack consecutively —
+    * outer block i first, then sub-block j of i's complement (the
+    * complement's bits concatenated in signature order, split into
+    * nInner balanced parts; a sub-block straddling outer-block
+    * boundaries contributes one run per straddled block). Factored out
+    * so the q122 oracle SQL is GENERATED from the same enumeration. */
+  private[graft] def simhashPermutedSegments(bits: Int, nOuter: Int,
+      nInner: Int): Seq[Seq[(Int, Int)]] = {
+    val outer = simhashBlockBounds(bits, nOuter)
+    for {
+      i <- 0 until nOuter
+      (offI, wI) = outer(i)
+      rest = outer.zipWithIndex.collect { case (b, k) if k != i => b }
+      innerBounds = simhashBlockBounds(bits - wI, nInner)
+      j <- 0 until nInner
+    } yield {
+      val (jOff, jW) = innerBounds(j)
+      // map [jOff, jOff+jW) in the complement's concatenated bit space
+      // back to original-signature runs
+      var pos = 0
+      val runs = rest.flatMap { case (ro, rw) =>
+        val lo = math.max(jOff, pos)
+        val hi = math.min(jOff + jW, pos + rw)
+        pos += rw
+        if (hi > lo) Some((ro + (lo - (pos - rw)), hi - lo)) else None
+      }
+      (offI, wI) +: runs
+    }
+  }
+
+  /** Permuted-table keys of [[simhashPairsPermuted]] — (id, simhash,
+    * tbl_idx, tbl_key), one row per (doc, table). Factored out so
+    * [[graft.tools.CandVol]] measures the exact join keys shuffled. */
+  private[graft] def simhashPermutedKeys(sims: DataFrame, maxDist: Int,
+      bits: Int, nOuter: Int, nInner: Int): DataFrame = {
+    require(nOuter > maxDist && nInner > maxDist,
+      s"double pigeonhole needs nOuter and nInner > maxDist " +
+        s"(got $nOuter/$nInner vs $maxDist)")
+    val tables = simhashPermutedSegments(bits, nOuter, nInner)
+    val keyWidth = tables.map(_.map(_._2).sum).max
+    require(keyWidth <= 62, s"packed table key would need $keyWidth bits")
+    val keyExprs = tables.map { segs =>
+      segs.foldLeft((lit(0L), 0)) { case ((acc, shift), (off, w)) =>
+        val run = shiftrightunsigned(col("simhash"), off)
+          .bitwiseAND(lit((1L << w) - 1))
+        (acc.bitwiseOR(shiftleft(run, shift)), shift + w)
+      }._1
+    }
+    sims.select(col("id"), col("simhash"),
+      posexplode(array(keyExprs: _*)).as(Seq("tbl_idx", "tbl_key")))
+  }
+
   /** Pigeonhole chunk keys of the simhash candidate join — (id, simhash,
     * chunk_idx, chunk), the balanced (maxDist+1)-way bit partition of the
     * low `bits` signature bits. Factored out so [[graft.tools.CandVol]]

@@ -167,6 +167,27 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SimHash via Manku's RECURSIVE permuted-table scheme (WWW'07 §3.1.1;
+    * VERDICT r7 #4) — 4 outer blocks × 4 sub-blocks of the complement =
+    * 16 tables keyed on 27 bits: the simhash form that is BOTH
+    * low-fan-out (16 rows/doc/table vs q116's 20) AND non-quadratic
+    * (per-table chance collisions ~n²/2^27 — ~4000× below q114's
+    * chunk-dial constant). Same exact output as q114/q116 (double
+    * pigeonhole, pinned by the three-scheme equivalence spec), then
+    * exact-Jaccard verified; the oracle mirrors THIS machinery — DuckDB
+    * rebuilds the 16 permuted tables from the same segment enumeration
+    * ([[Dedup.simhashPermutedSegments]] generates both sides), joins on
+    * (table, packed key), Hamming-filters, and verifies. With q122
+    * declared, q114/q36 leave the headline set (chunk-scheme mechanism
+    * dials, still declared and oracled). */
+  def q122SimhashPermuted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.verifiedJaccard(docs,
+      Dedup.simhashPairsPermuted(docs, maxDist = 3),
+      threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Prefix-filtering near-dup join (SSJoin/AllPairs candidates +
     * exact verification): the hash-free exact counterpart to q35/q36 —
     * candidates come from joining only each doc's rarest
@@ -491,6 +512,7 @@ object TextQueries {
     "q36_simhash_pairs" -> (q36Simhash _),
     "q114_simhash_manku" -> (q114SimhashManku _),
     "q116_simhash_combos" -> (q116SimhashCombos _),
+    "q122_simhash_permuted" -> (q122SimhashPermuted _),
     "q119_fuzzy_decontam" -> (q119FuzzyDecontam _),
     "q120_incremental_dedup" -> (q120IncrementalDedup _),
     "q121_quality_filter" -> (q121QualityFilter _),
@@ -632,6 +654,7 @@ object TextQueries {
     "q36_simhash_pairs" -> exactJaccardSql,
     "q114_simhash_manku" -> simhashMankuSql,
     "q116_simhash_combos" -> simhashCombosSql,
+    "q122_simhash_permuted" -> simhashPermutedSql,
     // exact CROSS-pair Jaccard (train side % mod != 0, probe side = 0):
     // equality is simultaneously the band join's recall proof, as q35
     "q119_fuzzy_decontam" ->
@@ -849,6 +872,31 @@ object TextQueries {
         }
         s"SELECT doc_id, sig, $ci AS ci, $keyExpr AS k FROM sig"
     }.mkString("\n  UNION ALL ")
+    s"""WITH $portableSigCtes,
+       |keyed AS (
+       |  $keyed),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM keyed a JOIN keyed b ON a.ci = b.ci AND a.k = b.k AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |$verifyJaccardTail""".stripMargin
+  }
+
+  /** q122's oracle: the same signature mirror as q114/q116's, with
+    * candidates from the recursive permuted tables — the SQL's 16 keyed
+    * SELECTs are GENERATED from [[Dedup.simhashPermutedSegments]]'s
+    * (offset, width) runs, the same enumeration the operator packs, so
+    * operator and oracle cannot drift. */
+  private lazy val simhashPermutedSql: String = {
+    val D = graft.operators.Dedup
+    val keyed = D.simhashPermutedSegments(D.PortableSimHashBits, 4, 4)
+      .zipWithIndex.map { case (segs, ti) =>
+        val (keyExpr, _) = segs.foldLeft(("CAST(0 AS BIGINT)", 0)) {
+          case ((acc, shift), (off, w)) =>
+            (s"($acc | (((sig >> $off) & ${(1L << w) - 1}) << $shift))",
+              shift + w)
+        }
+        s"SELECT doc_id, sig, $ti AS ci, $keyExpr AS k FROM sig"
+      }.mkString("\n  UNION ALL ")
     s"""WITH $portableSigCtes,
        |keyed AS (
        |  $keyed),

@@ -137,6 +137,12 @@ object CandVol {
       Dedup.simhashComboKeys(simsPortable, maxDist = 3,
         bits = Dedup.PortableSimHashBits, nBlocks = 6),
       Seq("combo_idx", "combo_key"))
+    // q122: recursive permuted tables — 16 tables on 26-27-bit keys;
+    // volume should track q116's ~1.0 at 20% less fan-out
+    val sim122 = selfJoinVolume(
+      Dedup.simhashPermutedKeys(simsPortable, maxDist = 3,
+        bits = Dedup.PortableSimHashBits, nOuter = 4, nInner = 4),
+      Seq("tbl_idx", "tbl_key"))
     simsPortable.unpersist()
     val prefix = selfJoinVolume(
       Dedup.prefixKeys(docs, threshold = 0.5), Seq("shingle"))
@@ -181,6 +187,7 @@ object CandVol {
       ("q36_simhash_d12", sim36.toDouble),
       ("q114_simhash_manku", sim114.toDouble),
       ("q116_simhash_combo", sim116.toDouble),
+      ("q122_simhash_permuted", sim122.toDouble),
       ("q97_prefix", prefix.toDouble),
       ("q119_cross_bands", cross.toDouble),
       ("q120_hist_probe", ingestCross.toDouble),
@@ -213,7 +220,8 @@ object CandVol {
     // q113/q115)
     val volKeys = Seq("q34_cand_capped", "q34_cand_uncapped",
       "q35_minhash_bands", "q36_simhash_d12", "q114_simhash_manku",
-      "q116_simhash_combo", "q97_prefix", "q119_cross_bands",
+      "q116_simhash_combo", "q122_simhash_permuted", "q97_prefix",
+      "q119_cross_bands",
       "q120_hist_probe", "q120_within_batch",
       "q113_adaptive_probe", "q113_probe_cap8", "q115_semantic_blocks")
     val legs = perDir.sliding(2).collect { case Seq((d1, v1), (d2, v2)) =>

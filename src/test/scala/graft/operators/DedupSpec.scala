@@ -119,6 +119,56 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("permuted-table simhash finds exactly the chunk scheme's pairs (double pigeonhole)") {
+    // the recursive scheme (outer block + sub-block of its complement)
+    // is exact on Hamming<=maxDist like the other two — identical
+    // verified sets, only WHERE pairs meet differs (27-bit keys in 16
+    // tables at the q122 defaults)
+    for ((maxDist, nOuter, nInner) <- Seq((3, 4, 4), (2, 3, 5), (3, 5, 4))) {
+      val chunk = Dedup.simhashPairsPortable(docs, maxDist = maxDist)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      val perm = Dedup.simhashPairsPermuted(docs, maxDist = maxDist,
+        nOuter = nOuter, nInner = nInner)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(perm == chunk, s"maxDist=$maxDist nOuter=$nOuter nInner=$nInner")
+    }
+  }
+
+  test("permuted-table segments cover each outer block's complement exactly once") {
+    // structural laws of the q122 enumeration (what the generated
+    // oracle packs): 16 tables; table (i,j)'s first run is outer block
+    // i; the inner runs of i's four tables tile i's complement exactly;
+    // widths are balanced (15 + 11..12 bits)
+    val bits = Dedup.PortableSimHashBits
+    val segs = Dedup.simhashPermutedSegments(bits, 4, 4)
+    assert(segs.size == 16)
+    val outer = Dedup.simhashBlockBounds(bits, 4)
+    for (i <- 0 until 4) {
+      val tables = segs.slice(i * 4, i * 4 + 4)
+      assert(tables.forall(_.head == outer(i)))
+      val innerBits = tables.flatMap(_.tail)
+        .flatMap { case (off, w) => off until (off + w) }.sorted
+      val complement = (0 until bits).filterNot(b =>
+        b >= outer(i)._1 && b < outer(i)._1 + outer(i)._2)
+      assert(innerBits == complement, s"outer block $i complement tiling")
+      assert(tables.forall(t => { val kw = t.map(_._2).sum; kw == 26 || kw == 27 }))
+    }
+    // packing pin: hand-compute table (0,0)'s key for one signature —
+    // outer block 0 (bits 0-14) then the complement's first 12 bits
+    // (bits 15-26), packed consecutively
+    val sig = 0x0FED_CBA9_8765_4321L & ((1L << bits) - 1)
+    val sims = Seq((1L, sig)).toDF("id", "simhash")
+    val keys = Dedup.simhashPermutedKeys(sims, maxDist = 3, bits = bits,
+        nOuter = 4, nInner = 4)
+      .select("tbl_idx", "tbl_key").as[(Int, Long)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    assert(keys.size == 16)
+    val want00 = (sig & 32767L) | (((sig >>> 15) & 4095L) << 15)
+    assert(keys.head == want00)
+  }
+
   test("combo keys pack the chosen blocks' bits consecutively (q116 oracle contract)") {
     // hand-compute the 20 packed keys for one signature and pin the
     // frame's (combo_idx, combo_key) rows against them — the exact
