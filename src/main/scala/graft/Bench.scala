@@ -6,12 +6,17 @@ import java.util.Locale
 
 /** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR.
   *
-  * Output contract (VERDICT r1/r2): the JSON line is written to
-  * `bench_out.json` in the working directory AND printed as the final
-  * stdout line. Run via `tools/bench.sh` (plain JVM — no sbt log prefix
-  * can pollute stdout, so the last line is the bare JSON). Failures are
-  * never folded into timings: a failing query records `-1` and
-  * `"ok":{...false}` and the process exits non-zero.
+  * Output contract (VERDICT r1/r2, r7 §wrong 3): the FULL record (p50 +
+  * raw per-run times + per-query ok + sentinel brackets) is written to
+  * `bench_out.json` and appended to BENCH_HISTORY.jsonl; the final
+  * stdout line is a COMPACT record (p50 per query, all_ok, failed
+  * names, stall verdict) sized to survive the driver's bounded stdout
+  * tail intact — BENCH_r07.json archived a truncated 5 KB line with
+  * `"parsed": null`, so a reader of the round artifact alone had no
+  * per-query data. Run via `tools/bench.sh` (plain JVM — no sbt log
+  * prefix can pollute stdout, so the last line is the bare JSON).
+  * Failures are never folded into timings: a failing query records `-1`
+  * and `"ok":{...false}` and the process exits non-zero.
   *
   * Timing is p50-of-3 per query (VERDICT r2 §wrong 5): this host shows
   * 17-70 s scheduler stalls on warm 1 s queries, so a median with the raw
@@ -157,8 +162,13 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     // Final line on stdout, after spark.stop() so no executor shutdown
-    // chatter can interleave behind it.
-    println(json)
+    // chatter can interleave behind it. COMPACT (~1.2 KB at 28 queries):
+    // the driver archives only a bounded stdout tail, and the full
+    // record's raw/ok/sentinel maps pushed the line past it.
+    val failing = results.filterNot(_._2).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness":"noop","queries":$qs,"all_ok":$allOk,"failed":$failing,"sentinel_floor":${fmt(sentFloor)},"stall_suspect":$suspectJson,"sf":"$sfDir","full_record":"bench_out.json"}""")
     if (!allOk) sys.exit(1)
   }
 }
