@@ -553,9 +553,14 @@ object Dedup {
     * ~n²/2^27 (vs 2^30 for q116's 20 tables and 2^15 for q114's 4) —
     * 8× the combination scheme's constant for 20% less fan-out and a
     * simpler two-level key, and still ~4000× below the chunk dial; the
-    * candidate volume stays ~1.0 on every measured corpus
-    * (CANDVOL_r08). Side-B replication is nOuter·nInner·saltBuckets =
-    * 32 rows/doc at the defaults (q116 at salt 2: 40). */
+    * candidate volume reads exponent 1.01/1.04/1.09 across g1→g30 and
+    * 1.02 adversarial (CANDVOL_r08), with the 2^27 term surfacing at
+    * the g100 decade (1.25 at 5M docs, CANDVOL_r08_g100) — the
+    * documented envelope: a few ×10⁶ docs at 60-bit signatures; past
+    * it, [[simhashPairsCombinatorial]]'s 2^30 keys (1.03 at g100) are
+    * the deeper-scale form. Side-B replication is
+    * nOuter·nInner·saltBuckets = 32 rows/doc at the defaults (q116 at
+    * salt 2: 40). */
   def simhashPairsPermuted(docs: DataFrame, maxDist: Int = 3,
       nOuter: Int = 4, nInner: Int = 4,
       idCol: String = "doc_id", textCol: String = "text",
