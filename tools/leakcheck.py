@@ -44,7 +44,7 @@ CHECKS = {
                            r"ghp_[A-Za-z0-9]{36}|xox[baprs]-)"), lambda line: True),
     "env-var": (re.compile(r"sys\.env\b|getenv\("),
                 lambda line: not re.search(
-                    r"SPARK_GRAFT_(SF_DIR|CPUS|SCALE_RUNS)|GRAFT_GEN_TABLES|"
+                    r"SPARK_GRAFT_(SF_DIR|CPUS|SCALE_RUNS|SHUFFLE_PARTS)|GRAFT_GEN_TABLES|"
                     r"GRAFT_EXPLAIN|SPARK_DRIVER_MEM|COURSIER", line)),
 }
 EXTS = {".scala", ".py", ".sh", ".md", ".sbt", ".json", ".jsonl"}
