@@ -315,6 +315,14 @@ object Dedup {
       // surviving pairs — the smallest frame in the operator)
       .join(cands, Seq("id_a", "id_b"))
       .localCheckpoint()
+    // bb and cands fed only the (eager) pairs checkpoint — free their
+    // blocks now instead of waiting for the ContextCleaner (ADVICE r8:
+    // a long-running driver otherwise accumulates them per micro-batch;
+    // note Dataset.unpersist would be a silent no-op on a checkpoint —
+    // see Sessions.freeCheckpoint). pairs itself backs the returned
+    // frame; the streaming wiring sweeps it after the verdict write.
+    graft.core.Sessions.freeCheckpoint(bb)
+    graft.core.Sessions.freeCheckpoint(cands)
     val histBlame = pairs.filter(col("src") === "hist")
       .groupBy(col("id_b").as(idCol)).agg(min("id_a").as("hist_dup"))
     val batchBlame = pairs.filter(col("src") === "batch")

@@ -173,8 +173,9 @@ object IncrementalDedup {
         .select(col("band"), col("band_hash"), col("id"))
         .localCheckpoint()
       keptBands.write.mode("overwrite").parquet(s"$bandsDir/batch_id=$batchId")
-      keptDocs.unpersist(false)
-      keptBands.unpersist(false)
+      // real frees (Dataset.unpersist is a no-op on checkpoints)
+      graft.core.Sessions.freeCheckpoint(keptDocs)
+      graft.core.Sessions.freeCheckpoint(keptBands)
       out
     }
   }
@@ -213,13 +214,43 @@ object IncrementalDedup {
     * future read needs the pre-compaction layout. */
   def compactIndex(spark: SparkSession, indexDir: String, upToBatchId: Long,
       targetRecordsPerFile: Long = 4000000L): Unit = {
-    require(upToBatchId > 0, s"upToBatchId must be positive, got $upToBatchId")
+    validateUpTo(spark, indexDir, upToBatchId)
     Seq("bands", "docs").foreach { side =>
-      compactSide(spark, s"$indexDir/$side", upToBatchId, targetRecordsPerFile)
+      compactSideWrite(spark, s"$indexDir/$side", upToBatchId, targetRecordsPerFile)
+      deleteCoveredSources(spark, s"$indexDir/$side")
     }
   }
 
-  private def compactSide(spark: SparkSession, dir: String, upTo: Long,
+  /** Fail loudly on an out-of-range `upTo` (ADVICE r8): a manual call
+    * with upTo beyond the next in-flight batch id would delete source
+    * partitions while [[historyPred]] excludes generation −upTo for
+    * every batch N < upTo — those batches would silently dedupe against
+    * an EMPTY history. Valid upTo: at most max(stream partition id)+1;
+    * a committed generation −upTo also legitimizes its own upTo (the
+    * documented idempotent re-run, where the stream partitions may
+    * already be deleted). */
+  private def validateUpTo(spark: SparkSession, indexDir: String,
+      upToBatchId: Long): Unit = {
+    require(upToBatchId > 0, s"upToBatchId must be positive, got $upToBatchId")
+    val ids = Seq("bands", "docs")
+      .flatMap(s => partitionIds(spark, s"$indexDir/$s"))
+    val bound = math.max(
+      ids.filter(_ >= 0).maxOption.map(_ + 1L).getOrElse(0L),
+      ids.filter(_ < 0).map(-_).maxOption.getOrElse(0L))
+    require(upToBatchId <= bound,
+      s"upToBatchId $upToBatchId is beyond the index frontier $bound " +
+        s"(max stream partition + 1, or an existing generation): batches " +
+        s"between the frontier and $upToBatchId would lose their history")
+  }
+
+  /** The FOLD half of [[compactIndex]] for one side: write generation
+    * −upTo if not already committed. Never deletes anything — safe to
+    * run on a side thread while later micro-batches read the index
+    * (sources are immutable committed partitions; a concurrent history
+    * read that lists a partially-committed generation sees whole
+    * duplicate files, which the operator's distinct()s make inert —
+    * the same superset argument as the crash windows). */
+  private def compactSideWrite(spark: SparkSession, dir: String, upTo: Long,
       targetRecordsPerFile: Long): Unit = {
     val (fs, _) = fsPath(spark, dir)
     // sources: stream batches below upTo, and STRICTLY OLDER generations
@@ -241,34 +272,155 @@ object IncrementalDedup {
         .option("maxRecordsPerFile", targetRecordsPerFile)
         .parquet(genPath.toString)
     }
-    sources.foreach(id => fs.delete(new Path(s"$dir/batch_id=$id"), true))
+  }
+
+  /** The DELETE half for one side: drop every partition covered by the
+    * newest COMMITTED generation (stream batches below its coverage W,
+    * and older generations). Idempotent; a no-op when no generation has
+    * committed. Must only run from a thread that is not mid-read of the
+    * index — the [[stream]] wiring calls it at the START of each
+    * micro-batch, on the foreachBatch thread itself, so no history scan
+    * is in flight when sources disappear (a file deleted between a
+    * Spark plan's file listing and its read is a task failure). */
+  private def deleteCoveredSources(spark: SparkSession, dir: String): Unit = {
+    val (fs, _) = fsPath(spark, dir)
+    val committed = partitionIds(spark, dir)
+      .filter(id => id < 0 &&
+        fs.exists(new Path(s"$dir/batch_id=$id", "_SUCCESS")))
+    if (committed.isEmpty) return
+    val cover = committed.map(-_).max
+    partitionIds(spark, dir)
+      .filter(id => (id >= 0 && id < cover) || (id < 0 && -id < cover))
+      .foreach(id => fs.delete(new Path(s"$dir/batch_id=$id"), true))
+  }
+
+  /** Deferred-delete entry for the out-of-band compaction path: finish
+    * any committed fold by dropping its now-covered sources (both index
+    * sides). See [[deleteCoveredSources]] for the threading contract. */
+  def deleteCompactedSources(spark: SparkSession, indexDir: String): Unit =
+    Seq("bands", "docs").foreach(s => deleteCoveredSources(spark, s"$indexDir/$s"))
+
+  /** One daemon fold thread per index (lazily, via a cached pool +
+    * per-index in-flight guard): the fold is pure extra I/O off the
+    * batch critical path, so a slow fold must never block a trigger. */
+  private val compactPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-compact")
+      t.setDaemon(true)
+      t
+    })
+  private val inflightFolds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Future[_]]()
+
+  /** OUT-OF-BAND compaction (VERDICT r8 #3): submit the fold for
+    * `upToBatchId` to a side thread and return immediately — the
+    * micro-batch that triggered it pays only this submission. Source
+    * deletion is NOT done here: it is deferred to the next micro-batch
+    * start ([[deleteCompactedSources]] on the foreachBatch thread), so
+    * a history scan never races a delete. Until then the index is a
+    * committed-generation + sources SUPERSET — exactly the crash-window
+    * state the duplicate-tolerance spec pins as inert. If a previous
+    * fold for this index is still running the call is skipped; the next
+    * trigger catches up with a larger upTo (folds are cumulative).
+    * Residue of a skipped window: at most one extra generation's rows
+    * duplicated into the next fold — inert and bounded. */
+  def compactIndexAsync(spark: SparkSession, indexDir: String,
+      upToBatchId: Long, targetRecordsPerFile: Long = 4000000L): Unit = {
+    validateUpTo(spark, indexDir, upToBatchId)
+    val cur = inflightFolds.get(indexDir)
+    if (cur == null || cur.isDone) {
+      inflightFolds.put(indexDir, compactPool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            // the pool thread inherits the SUBMITTING (streaming) thread's
+            // job group and tags (InheritableThreadLocal, copied at thread
+            // creation) — query.stop() cancels every job carrying the
+            // query's tag, which would kill a fold mid-write. The fold is
+            // index maintenance, not query work: detach it.
+            spark.sparkContext.clearJobGroup()
+            spark.sparkContext.clearJobTags()
+            Seq("bands", "docs").foreach { side =>
+              compactSideWrite(spark, s"$indexDir/$side", upToBatchId,
+                targetRecordsPerFile)
+            }
+          } catch {
+            case e: Throwable =>
+              // a failed fold leaves only sources (or an uncommitted
+              // generation dir the next attempt overwrites) — correctness
+              // unaffected; surface it and let the next trigger retry
+              System.err.println(
+                s"[incdedup] async compaction at upTo=$upToBatchId failed: $e")
+          }
+      }))
+    }
+  }
+
+  /** Block until any in-flight fold for `indexDir` finishes, WITHOUT
+    * running the deferred deletes — exposes the committed-generation +
+    * sources superset window the crash/concurrency contract rides on
+    * (the out-of-band spec observes it directly). */
+  private[graft] def awaitFoldOnly(indexDir: String): Unit =
+    Option(inflightFolds.get(indexDir)).foreach(_.get())
+
+  /** Block until any in-flight fold for `indexDir` finishes, then run
+    * the deferred source deletes — the drain hook tests and benches use
+    * to observe the post-compaction index deterministically. */
+  def awaitCompaction(spark: SparkSession, indexDir: String): Unit = {
+    awaitFoldOnly(indexDir)
+    deleteCompactedSources(spark, indexDir)
   }
 
   /** Wire a streaming (idCol, textCol) document frame through
     * [[processBatch]]: verdicts for micro-batch N land in
     * `outDir/batch_id=N` (overwrite → exactly-once observable output),
     * and the index under `indexDir` grows one partition per batch.
-    * `compactEvery > 0` runs [[compactIndex]] after every
+    * `compactEvery > 0` triggers compaction after every
     * `compactEvery`-th batch (upTo = the in-flight id, so only committed
-    * history is folded); `keptOnlyHistory` selects the dedup-as-you-go
-    * index semantics (see [[processBatch]]). */
+    * history is folded) — OUT-OF-BAND by default (VERDICT r8 #3: the
+    * fold runs on a side thread, deferred deletes run at the next batch
+    * start, so batch latency never pays the fold; set
+    * `compactAsync = false` for the in-band fold, which pauses its
+    * trigger batch but leaves the index fully compacted the moment the
+    * call returns). `keptOnlyHistory` selects the dedup-as-you-go index
+    * semantics (see [[processBatch]]). */
   def stream(docs: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.5, k: Int = 16,
       bands: Int = 4, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text",
       trigger: Trigger = Trigger.ProcessingTime(0L),
       compactEvery: Int = 0,
-      keptOnlyHistory: Boolean = false): StreamingQuery =
+      keptOnlyHistory: Boolean = false,
+      compactAsync: Boolean = true): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        processBatch(b.sparkSession, b, id, indexDir, threshold, k,
+        val spark = b.sparkSession
+        // finish any committed out-of-band fold BEFORE this batch's
+        // history scan plans its file listing (delete-vs-read safety)
+        if (compactEvery > 0 && compactAsync)
+          deleteCompactedSources(spark, indexDir)
+        val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+        processBatch(spark, b, id, indexDir, threshold, k,
           bands, n, idCol, textCol, keptOnlyHistory)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
-          compactIndex(b.sparkSession, indexDir, id)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          if (compactAsync) compactIndexAsync(spark, indexDir, id)
+          else compactIndex(spark, indexDir, id)
+        }
+        // Free this batch's localCheckpoint blocks deterministically
+        // (ADVICE r8): processBatch's intermediates (bb/cands/pairs and
+        // keptOnlyHistory's out) are otherwise reclaimed only when the
+        // ContextCleaner GCs the DataFrames — on a long-running
+        // low-heap-pressure driver that can be thousands of micro-batches
+        // of executor storage. The verdicts are on disk; nothing re-reads
+        // these. (Snapshot-diff scope: assumes one stream per session
+        // batch-at-a-time, which foreachBatch serializes per query.)
+        val persisted = spark.sparkContext.getPersistentRDDs
+        persisted.foreach { case (rddId, rdd) =>
+          if (!persistedBefore.contains(rddId)) rdd.unpersist(blocking = false)
+        }
         ()
       }
       .start()

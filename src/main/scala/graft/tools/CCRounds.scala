@@ -57,14 +57,22 @@ object CCRounds {
 
     def p50(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val nRounds = perRun.map(_._1.count(_._1 > 0))
-    require(nRounds.distinct.size == 1,
-      s"round count varied across runs: $nRounds (non-deterministic input?)")
-    val roundJson = perRun.head._1.map { case (i, _, edges) =>
-      val secs = p50(perRun.map(_._1.find(_._1 == i).get._2))
-      s"""{"round":$i,"sec":${fmt(secs)},"edges":$edges}"""
-    }.mkString("[", ",", "]")
+    // a varied round count is worth REPORTING, not a reason to discard
+    // all the paid-for timings (ADVICE r8): quote p50 over the rounds
+    // every run has, and stamp the per-run counts so the divergence is
+    // visible in the artifact
+    if (nRounds.distinct.size != 1)
+      System.err.println(s"[ccrounds] WARNING: round count varied across " +
+        s"runs: $nRounds — per-round p50 is over the common prefix")
+    val roundJson = perRun.head._1
+      .filter { case (i, _, _) => perRun.forall(_._1.exists(_._1 == i)) }
+      .map { case (i, _, edges) =>
+        val secs = p50(perRun.map(_._1.find(_._1 == i).get._2))
+        s"""{"round":$i,"sec":${fmt(secs)},"edges":$edges}"""
+      }.mkString("[", ",", "]")
     val json = s"""{"metric":"cc_rounds","dir":"$dir","runs":$runs,""" +
-      s""""star_rounds":${nRounds.head},""" +
+      s""""star_rounds":${nRounds.max},""" +
+      s""""round_counts":${nRounds.mkString("[", ",", "]")},""" +
       s""""rounds":$roundJson,""" +
       s""""resolve_sec":${fmt(p50(perRun.map(_._2)))},""" +
       s""""tail_sec":${fmt(p50(perRun.map(_._3)))},""" +

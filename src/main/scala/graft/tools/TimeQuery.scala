@@ -40,7 +40,35 @@ object TimeQuery {
         graft.operators.Dedup.verifiedJaccard(docs,
           graft.operators.Dedup.simhashPairsCombinatorial(docs,
             maxDist = 3, saltBuckets = 1), threshold = 0.5)
-      }))
+      }),
+      // q35's stage ladder (VERDICT r8 #1: name the super-linear leg, if
+      // real, of the g100 wall). Each stage is a PREFIX of the declared
+      // q35 plan; stage-to-stage deltas isolate the legs:
+      //   shingles           = the n-gram scan + per-shingle hash
+      //   sigs − shingles    = the k=16 rehash + groupBy-min aggregation
+      //   bands − sigs       = band slicing + posexplode
+      //   lsh − bands        = the band self-join + est filter + distinct
+      //   q35 − lsh          = exact-Jaccard verification + sort
+      "q35_shingles" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, explode, xxhash64}
+        graft.core.Tables.documents(s, d)
+          .select(col("doc_id").as("id"),
+            explode(graft.functions.TextFunctions.shingles(col("text"), 3))
+              .as("shingle"))
+          .withColumn("h", xxhash64(col("shingle")))
+      }),
+      "q35_sigs" -> ((s, d) => graft.operators.Dedup.minhashSignatures(
+        graft.core.Tables.documents(s, d), k = 16, n = 3)),
+      "q35_bands" -> ((s, d) => graft.operators.Dedup.minhashBandKeys(
+        graft.core.Tables.documents(s, d), k = 16, bands = 4, n = 3)),
+      "q35_lsh" -> ((s, d) => graft.operators.Dedup.minhashLsh(
+        graft.core.Tables.documents(s, d), k = 16, bands = 4,
+        minEstimate = 0.5)))
+    // absorb the fresh-JVM classload/codegen cost (~9 s measured — the
+    // PartProbe per-session warmup lesson) so run1 of the first name
+    // isn't charged for it; VM stall waves can still hit the first
+    // window, so the protocol stays p50 + per-leg minima
+    spark.range(1000000).selectExpr("id % 97 AS k").groupBy("k").count().count()
     val all = graft.SparkEntry.queries ++ stages
     names.foreach { name =>
       val fn = all.getOrElse(name, sys.error(s"unknown query $name"))

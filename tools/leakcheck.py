@@ -64,7 +64,11 @@ def main():
         # (ADVICE r7), including the caller-chosen outJson
         if rel == "tools/leakcheck.py" or rel.startswith("LEAKCHECK"):
             continue
-        if str(p) == str(pathlib.Path(out).resolve()):
+        # compare RESOLVED paths on both sides (ADVICE r8): if ROOT or
+        # the out path involves a symlink, the unresolved candidate
+        # string never equals the resolved out path, the sweep scans its
+        # own output, and a quoted hit line re-flags forever
+        if p.resolve() == pathlib.Path(out).resolve():
             continue
         scanned += 1
         try:
