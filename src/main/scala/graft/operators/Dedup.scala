@@ -989,9 +989,32 @@ object Dedup {
   def verifiedJaccard(docs: DataFrame, candidates: DataFrame,
       threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n, 0L)
+    // Shingle ONLY the docs that appear in a candidate pair, and only
+    // ONCE (round 9). The previous shape shingled the FULL corpus and,
+    // because the three consumers below partition differently (id agg,
+    // id_a join, (id_b, shingle) join), Catalyst re-derived the
+    // explode+distinct subtree per consumer — six corpus-sized shuffles
+    // per query at the g100 decade. The per-stage wall ladder
+    // (TimeQuery q35_* stages, round 9) measured the verify leg at
+    // 5.9x for a 3.3x corpus against a candidate volume pinned 1.000:
+    // the leg's shuffle footprint outgrew the box's fixed page cache —
+    // the third fixed-local-resource trap after shuffle width and heap.
+    // Restricting to candidate docs is EXACT by construction: every
+    // consumer inner-joins on candidate ids (sizes feeds pair-id joins;
+    // the n_common joins are keyed by id_a/id_b), so non-candidate docs
+    // never influence the output — the same left-semi bound
+    // [[incrementalNearDupIndexed]] documents for its verify pass.
+    // Both checkpoints are bounded by the measured-linear candidate
+    // volume (pairs; candidate docs' shingles <= corpus shingles), and
+    // they stop the candidate GENERATOR (a full LSH/simhash plan) from
+    // re-running once per consumer.
+    val cand = candidates.select("id_a", "id_b").localCheckpoint()
+    val candIds = cand.select(col("id_a").as(idCol))
+      .unionByName(cand.select(col("id_b").as(idCol)))
+      .distinct()
+    val needed = docs.join(candIds, Seq(idCol), "left_semi")
+    val sh = docShingles(needed, idCol, textCol, n, 0L).localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val cand = candidates.select("id_a", "id_b")
     val common = cand
       .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
