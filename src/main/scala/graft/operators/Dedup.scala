@@ -306,8 +306,11 @@ object Dedup {
     val neededHist = historyDocs.join(
       cands.filter(col("src") === "hist").select(col("id_a").as(idCol)),
       Seq(idCol), "left_semi")
-    val pairs = verifiedJaccard(neededHist.unionByName(batch),
-        cands.select("id_a", "id_b"), threshold, n, idCol, textCol)
+    val (verified, verifyFree) = verifiedJaccardWithFrees(
+      neededHist.unionByName(batch),
+      cands.select("id_a", "id_b"), threshold, n, idCol, textCol,
+      viaCheckpoint = true)
+    val pairs = verified
       // ids are disjoint across the two frames (operator contract), so a
       // verified pair re-joins to exactly one tagged candidate row; the
       // checkpoint stops the two blame aggregates below from each
@@ -315,14 +318,16 @@ object Dedup {
       // surviving pairs — the smallest frame in the operator)
       .join(cands, Seq("id_a", "id_b"))
       .localCheckpoint()
-    // bb and cands fed only the (eager) pairs checkpoint — free their
-    // blocks now instead of waiting for the ContextCleaner (ADVICE r8:
-    // a long-running driver otherwise accumulates them per micro-batch;
-    // note Dataset.unpersist would be a silent no-op on a checkpoint —
-    // see Sessions.freeCheckpoint). pairs itself backs the returned
-    // frame; the streaming wiring sweeps it after the verdict write.
+    // bb, cands, and the verifier's pinned intermediates fed only the
+    // (eager) pairs checkpoint — free their blocks now instead of waiting
+    // for the ContextCleaner (ADVICE r8: a long-running driver otherwise
+    // accumulates them per micro-batch; note Dataset.unpersist would be
+    // a silent no-op on a checkpoint — see Sessions.freeCheckpoint).
+    // pairs itself backs the returned frame; the streaming wiring sweeps
+    // it after the verdict write.
     graft.core.Sessions.freeCheckpoint(bb)
     graft.core.Sessions.freeCheckpoint(cands)
+    verifyFree()
     val histBlame = pairs.filter(col("src") === "hist")
       .groupBy(col("id_b").as(idCol)).agg(min("id_a").as("hist_dup"))
     val batchBlame = pairs.filter(col("src") === "batch")
@@ -988,7 +993,38 @@ object Dedup {
     * generators DuckDB-oracle-verifiable end to end. */
   def verifiedJaccard(docs: DataFrame, candidates: DataFrame,
       threshold: Double, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    verifiedJaccardWithFrees(docs, candidates, threshold, n, idCol, textCol)._1
+
+  /** [[verifiedJaccard]] plus a cleanup that frees its two pinned
+    * intermediates (candidate pairs; candidate-doc shingles), so a caller
+    * that materializes the result eagerly — the streaming ingest path
+    * does, via its own localCheckpoint — can release them
+    * deterministically instead of waiting for the ContextCleaner
+    * (ADVICE r8 hygiene). The public entry leaves the frees to the
+    * ContextCleaner: its callers are batch queries whose session
+    * outlives one query plan.
+    *
+    * `viaCheckpoint` picks how the intermediates are pinned, and the
+    * right answer is measured, not principled (same session, sf0.1 solo
+    * floors, round 9): a LAZY downstream consumer wants persist()
+    * (q35 3.77 → 0.80 s, q97 6.39 → 3.50 s, q119 2.44 → 1.99 s — the
+    * cache keeps the full plan visible to Catalyst/AQE: column pruning
+    * into the InMemoryRelation, accurate stats for broadcast decisions,
+    * no opaque-UnsafeRow serialization barrier), while a caller that
+    * immediately re-checkpoints the output wants localCheckpoint()
+    * (q120's ingest path: 3.49 s checkpointed vs 5.25 s persisted —
+    * inside its one eager job the columnar cache encode is pure
+    * overhead). Default false = the public batch shape. */
+  private[graft] def verifiedJaccardWithFrees(docs: DataFrame,
+      candidates: DataFrame, threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      viaCheckpoint: Boolean = false): (DataFrame, () => Unit) = {
+    def pin(df: DataFrame): DataFrame =
+      if (viaCheckpoint) df.localCheckpoint() else df.persist()
+    def free(df: DataFrame): Unit =
+      if (viaCheckpoint) graft.core.Sessions.freeCheckpoint(df)
+      else { df.unpersist(blocking = false); () }
     // Shingle ONLY the docs that appear in a candidate pair, and only
     // ONCE (round 9). The previous shape shingled the FULL corpus and,
     // because the three consumers below partition differently (id agg,
@@ -1004,29 +1040,30 @@ object Dedup {
     // the n_common joins are keyed by id_a/id_b), so non-candidate docs
     // never influence the output — the same left-semi bound
     // [[incrementalNearDupIndexed]] documents for its verify pass.
-    // Both checkpoints are bounded by the measured-linear candidate
+    // Both pinned frames are bounded by the measured-linear candidate
     // volume (pairs; candidate docs' shingles <= corpus shingles), and
     // they stop the candidate GENERATOR (a full LSH/simhash plan) from
     // re-running once per consumer.
-    val cand = candidates.select("id_a", "id_b").localCheckpoint()
+    val cand = pin(candidates.select("id_a", "id_b"))
     val candIds = cand.select(col("id_a").as(idCol))
       .unionByName(cand.select(col("id_b").as(idCol)))
       .distinct()
     val needed = docs.join(candIds, Seq(idCol), "left_semi")
-    val sh = docShingles(needed, idCol, textCol, n, 0L).localCheckpoint()
+    val sh = pin(docShingles(needed, idCol, textCol, n, 0L))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_common"))
-    common
+    val out = common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("sa")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("sb")), Seq("id_b"))
       .withColumn("jaccard",
         round(col("n_common") / (col("sa") + col("sb") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "jaccard")
+    (out, () => { free(cand); free(sh) })
   }
 
   /** Prefix-filtering candidate generation (the SSJoin/AllPairs family:
