@@ -105,7 +105,15 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
-        (ok, (System.nanoTime() - t0) / 1e9, s)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop cache entries OUTSIDE the timed window (round 9): the
+        // verify family persist()s intermediates, and the CacheManager
+        // keys entries by logical plan — a repeat run of the same query
+        // in the same session would silently REUSE run 1's cached
+        // shingles/candidates and report cache-read speed, not compute
+        // speed (the cross-run analogue of the count()-pruning trap).
+        spark.catalog.clearCache()
+        (ok, dt, s)
       }
       val okTimes = runs.filter(_._1).map(_._2).sorted
       val anyOk = okTimes.nonEmpty

@@ -1005,21 +1005,25 @@ object Dedup {
     * ContextCleaner: its callers are batch queries whose session
     * outlives one query plan.
     *
-    * `viaCheckpoint` picks how the intermediates are pinned, and the
-    * right answer is measured, not principled (same session, sf0.1 solo
-    * floors, round 9): a LAZY downstream consumer wants persist()
-    * (q35 3.77 → 0.80 s, q97 6.39 → 3.50 s, q119 2.44 → 1.99 s — the
-    * cache keeps the full plan visible to Catalyst/AQE: column pruning
-    * into the InMemoryRelation, accurate stats for broadcast decisions,
-    * no opaque-UnsafeRow serialization barrier), while a caller that
-    * immediately re-checkpoints the output wants localCheckpoint()
-    * (q120's ingest path: 3.49 s checkpointed vs 5.25 s persisted —
-    * inside its one eager job the columnar cache encode is pure
-    * overhead). Default false = the public batch shape. */
+    * `viaCheckpoint` picks how the intermediates are pinned. The default
+    * is localCheckpoint, and the choice is MEASURED — with a trap worth
+    * recording. persist() first looked 2-5x faster on repeat runs, but
+    * that was cross-run cache reuse: the CacheManager keys entries by
+    * logical plan, so a second run of the same query in the same session
+    * silently read run 1's cached shingles instead of computing them —
+    * the cross-run analogue of the count()-pruning harness bug. With the
+    * timing harnesses clearing the cache between runs (round 9), the
+    * honest same-session A/B (TimeQuery q35_pin_persist vs q35_pin_ckpt
+    * and the q97 twins, sf0.1) reads checkpoint ≤ persist on every leg:
+    * q35 2.13-2.73 s
+    * ckpt vs 2.56-3.91 s persist; q97 6.93-7.48 ckpt vs 7.39-7.79
+    * persist. The columnar cache encode costs more than the checkpoint's
+    * UnsafeRow store at every shape tried, and the optimizer-visibility
+    * argument for persist never cashed out. */
   private[graft] def verifiedJaccardWithFrees(docs: DataFrame,
       candidates: DataFrame, threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      viaCheckpoint: Boolean = false): (DataFrame, () => Unit) = {
+      viaCheckpoint: Boolean = true): (DataFrame, () => Unit) = {
     def pin(df: DataFrame): DataFrame =
       if (viaCheckpoint) df.localCheckpoint() else df.persist()
     def free(df: DataFrame): Unit =

@@ -64,11 +64,18 @@ object PartProbe {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      warmupDir.foreach(w => Sessions.materialize(fn(spark, w)))
+      warmupDir.foreach { w =>
+        Sessions.materialize(fn(spark, w))
+        spark.catalog.clearCache() // don't let warmup caches occupy memory
+      }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         Sessions.materialize(fn(spark, dir))
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // outside the timed window: see Bench — without this a repeat
+        // run reuses persisted verify intermediates across runs
+        spark.catalog.clearCache()
+        dt
       }
       spark.stop()
       (parts, times)

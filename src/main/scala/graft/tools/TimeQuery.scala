@@ -63,7 +63,36 @@ object TimeQuery {
         graft.core.Tables.documents(s, d), k = 16, bands = 4, n = 3)),
       "q35_lsh" -> ((s, d) => graft.operators.Dedup.minhashLsh(
         graft.core.Tables.documents(s, d), k = 16, bands = 4,
-        minEstimate = 0.5)))
+        minEstimate = 0.5)),
+      // pin-strategy A/B for the verify leg (round 9): same declared
+      // query, intermediates pinned via persist() vs localCheckpoint().
+      // Run the pair interleaved in ONE session — cross-session walls
+      // swing ~2x on this VM and cache entries are cleared between runs,
+      // so these are honest same-weather compute numbers.
+      "q35_pin_persist" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccardWithFrees(docs,
+          graft.operators.Dedup.minhashLsh(docs, 16, 4, 3, 0.5),
+          threshold = 0.5, viaCheckpoint = false)._1.orderBy("id_a", "id_b")
+      }),
+      "q35_pin_ckpt" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccardWithFrees(docs,
+          graft.operators.Dedup.minhashLsh(docs, 16, 4, 3, 0.5),
+          threshold = 0.5, viaCheckpoint = true)._1.orderBy("id_a", "id_b")
+      }),
+      "q97_pin_persist" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccardWithFrees(docs,
+          graft.operators.Dedup.prefixCandidates(docs, 0.5, guard = false),
+          threshold = 0.5, viaCheckpoint = false)._1.orderBy("id_a", "id_b")
+      }),
+      "q97_pin_ckpt" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccardWithFrees(docs,
+          graft.operators.Dedup.prefixCandidates(docs, 0.5, guard = false),
+          threshold = 0.5, viaCheckpoint = true)._1.orderBy("id_a", "id_b")
+      }))
     // absorb the fresh-JVM classload/codegen cost (~9 s measured — the
     // PartProbe per-session warmup lesson) so run1 of the first name
     // isn't charged for it; VM stall waves can still hit the first
@@ -77,7 +106,12 @@ object TimeQuery {
         // noop-sink materialization (Sessions.materialize): count() lets
         // the optimizer prune work out of the timed plan
         Sessions.materialize(fn(spark, dir))
-        println(f"[timequery] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val dt = (System.nanoTime() - t0) / 1e9
+        // outside the timed window: cache entries are keyed by logical
+        // plan, so without this a repeat run reuses the previous run's
+        // persisted verify intermediates and reports cache-read speed
+        spark.catalog.clearCache()
+        println(f"[timequery] $name run$i $dt%.2f s")
       }
     }
     spark.stop()
