@@ -83,6 +83,6 @@ object PartProbe {
     val json = results.map { case (parts, ts) =>
       s""""p$parts":{"p50":${fmt(p50(ts))},"raw":${ts.map(fmt).mkString("[", ",", "]")}}"""
     }.mkString(",")
-    println(s"""{"metric":"part_probe","harness":"noop","dir":"$dir","query":"$qname","cpus":$cpus,$json}""")
+    println(s"""{"metric":"part_probe","harness":"noop","cache_cleared":true,"dir":"$dir","query":"$qname","cpus":$cpus,$json}""")
   }
 }
