@@ -107,12 +107,24 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop cache entries OUTSIDE the timed window (round 9): the
-        // verify family persist()s intermediates, and the CacheManager
-        // keys entries by logical plan — a repeat run of the same query
-        // in the same session would silently REUSE run 1's cached
-        // shingles/candidates and report cache-read speed, not compute
-        // speed (the cross-run analogue of the count()-pruning trap).
+        // CacheManager keys entries by logical plan, so a repeat run of
+        // the same query in the same session silently REUSES run 1's
+        // persist()ed intermediates and reports cache-read speed, not
+        // compute speed (the cross-run analogue of the count()-pruning
+        // trap). The reuse source here is any internal persist() —
+        // PageRank's edge/degree/rank caches most visibly (q68 read ~3 s
+        // cached vs 10-25 s honest pre-round-10; ~8 s after the r10
+        // truncation fix). The verify family pins via
+        // localCheckpoint, whose blocks live OUTSIDE the CacheManager:
+        // clearCache() does not free them (Sessions.freeCheckpoint or
+        // ContextCleaner-on-GC do), and it never made them reusable
+        // across runs in the first place — each run's checkpoint is a
+        // fresh RDD, so the verify legs were honest all along. They DO
+        // accumulate: each run's checkpoint blocks linger until driver
+        // GC, so the persistent-RDD sweep below frees them too, keeping
+        // executor storage flat across the 28-query battery.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         (ok, dt, s)
       }
       val okTimes = runs.filter(_._1).map(_._2).sorted

@@ -44,17 +44,37 @@ object PageRank {
     * (no out-edges) are dropped, the standard simplification.
     *
     * Caching: edges/degrees/node set persist (each is read once per
-    * iteration), the iterations chain LAZILY — each step references the
-    * previous ranks exactly once, so the plan grows linearly and the
-    * whole recurrence pipelines as one job (an eager materialization
-    * per iteration costs a full scheduler round-trip each; measured 10x
-    * slower at bench scale). Only every [[TruncateEvery]]-th iteration
-    * is materialized, bounding lineage depth for deep runs. The final
-    * frame is materialized once; every intermediate persist is released
-    * before returning, so repeated calls do not accumulate cache. Only
-    * the returned frame stays cached (callers unpersist when done). */
-  def ranks(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    * iteration), and every [[TruncateEvery]]-th iteration is MATERIALIZED
+    * (persist + count), truncating the plan the next iteration builds on
+    * (CacheManager.useCachedData substitutes the cached subtree with an
+    * InMemoryRelation leaf at analysis time, so both the optimizer and
+    * AQE see a shallow tree). The default is every iteration — measured,
+    * with a history lesson: the pre-round-10 shape chained all
+    * iterations lazily into ONE job on the claim that eager
+    * materialization cost a scheduler round-trip each ("measured 10x
+    * slower") — but that measurement predates the cache-cleared harness
+    * era, when repeat runs silently re-read run 1's persisted leaves.
+    * The honest same-session A/B (TimeQuery q68_t* probes, round 10,
+    * sf0.1, 5 iterations) reads: no truncation 11.9-31 s (and 25-29 s
+    * in a second session — the unrolled 5-deep join/agg tree's
+    * optimizer+AQE cost dominates and swings with session weather),
+    * truncate-every-2 7.2-9.3 s, truncate-every-1 via persist 6.6-7.3 s,
+    * via localCheckpoint 9.2-10.6 s (the checkpoint's UnsafeRow store
+    * costs a write the columnar cache doesn't here). persist wins over
+    * localCheckpoint for truncation and also keeps recompute-on-eviction
+    * correctness: an evicted iteration re-derives from lineage instead
+    * of failing. Deep runs stay storage-bounded: once iteration i is
+    * materialized, iteration i-1's cache is released (trailing
+    * unpersist), so at most two rank frames are pinned at a time plus
+    * edges/degrees/nodes. The final frame is materialized once; every
+    * intermediate persist is released before returning, so repeated
+    * calls do not accumulate cache. Only the returned frame stays cached
+    * (callers unpersist when done). */
+  def ranks(spark: SparkSession, edges: DataFrame, iters: Int,
+      truncateEvery: Int = TruncateEvery,
+      truncViaCheckpoint: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(truncateEvery >= 1, s"truncateEvery must be >= 1, got $truncateEvery")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -71,7 +91,7 @@ object PageRank {
     val init = Scale / n
     val base = (15L * init) / 100L
     var ranks = nodes.select(col("node"), lit(init).as("rank"))
-    val truncated = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var prevTrunc: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -82,20 +102,30 @@ object PageRank {
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(insum, 0L)) div 100")).as("rank"))
-      if (i % TruncateEvery == 0 && i < iters) {
-        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-        ranks.count() // bound lineage depth on deep runs
-        truncated += ranks
+      if (i % truncateEvery == 0 && i < iters) {
+        if (truncViaCheckpoint) {
+          // a LogicalRDD leaf; measured SLOWER than persist here (see
+          // scaladoc A/B) and recompute-on-eviction fails — kept as the
+          // measured alternative, not the default
+          ranks = ranks.localCheckpoint(true)
+        } else {
+          ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+          ranks.count() // materialize: the next iteration plans on an
+          // InMemoryRelation leaf instead of the unrolled tree
+          prevTrunc.foreach(_.unpersist(false)) // trailing release
+          prevTrunc = Some(ranks)
+        }
       }
     }
     val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // one materialization for the whole recurrence
-    (Seq(e, deg, nodes) ++ truncated).foreach(_.unpersist(false))
+    out.count() // materialize the final iteration
+    (Seq(e, deg, nodes) ++ prevTrunc).foreach(_.unpersist(false))
     out
   }
 
-  /** Materialize-and-truncate cadence for deep iteration counts. */
-  val TruncateEvery = 8
+  /** Materialize-and-truncate cadence: every iteration (measured best —
+    * scaladoc A/B on [[ranks]]). */
+  val TruncateEvery = 1
 
   /** DuckDB twin of [[ranks]]: unrolled CTE chain with identical integer
     * arithmetic (`//` integral division; sums cast back to BIGINT since

@@ -202,7 +202,18 @@ object TextQueries {
     * repeats that work (measured 3.8 s → 12.9 s p50 at sf0.1 in round 5).
     * The guard stays the library default for unknown corpora; a declared
     * battery query on a known corpus is exactly the "shape already known"
-    * case its scaladoc carves out. */
+    * case its scaladoc carves out.
+    *
+    * Small-scale price, DECIDED (VERDICT r9 #5): the candidate-restricted
+    * verify (round 9) adds a checkpoint + left-semi pin whose fixed cost
+    * is ~+2.5 s at sf0.1 (5.3 → 7.5 s headline; honest band ~7-9 s) while
+    * buying the 3.8×-at-g100 verify shape (floor exponent 1.011,
+    * BENCH_SCALE_r09_q35fix). The declared query keeps the pin at every
+    * size rather than adding a corpus-size threshold: the dial would need
+    * its own eager count to decide (a driver-blocking job inside the
+    * timed window — the exact guard trap above), and a 100 TB engine's
+    * declared form should be the shape that survives the deep decades.
+    * The sf0.1 number IS the documented price. */
   def q97PrefixJoin(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     Dedup.verifiedJaccard(docs,

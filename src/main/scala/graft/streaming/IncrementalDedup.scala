@@ -323,7 +323,19 @@ object IncrementalDedup {
     * fold for this index is still running the call is skipped; the next
     * trigger catches up with a larger upTo (folds are cumulative).
     * Residue of a skipped window: at most one extra generation's rows
-    * duplicated into the next fold — inert and bounded. */
+    * duplicated into the next fold — inert and bounded.
+    *
+    * Latency accounting for anyone quoting async per-batch numbers
+    * (STREAM_r09, decomposed in NOTES r9 #5): out-of-band does not make
+    * the fold's CPU vanish — locally it SPREADS over the batches the
+    * fold overlaps, and folds grow with the index, so later overlapped
+    * batches absorb more. Measured drift is in the INGEST leg only
+    * (+0.4 s half-over-half, 2.55 → 2.97 s p50 at 120 batches) while
+    * dedup and on-path compaction cost stay flat; totals still favor
+    * async (367 s vs 400 in-band vs 509 no-compact, identical
+    * verdicts). On a real cluster the fold's tasks run on whatever
+    * executors are free, so the overlap tax is capacity, not critical
+    * path. Quote per-batch async latency as a band, not a point. */
   def compactIndexAsync(spark: SparkSession, indexDir: String,
       upToBatchId: Long, targetRecordsPerFile: Long = 4000000L): Unit = {
     validateUpTo(spark, indexDir, upToBatchId)

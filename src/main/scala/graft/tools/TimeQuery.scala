@@ -92,6 +92,85 @@ object TimeQuery {
         graft.operators.Dedup.verifiedJaccardWithFrees(docs,
           graft.operators.Dedup.prefixCandidates(docs, 0.5, guard = false),
           threshold = 0.5, viaCheckpoint = true)._1.orderBy("id_a", "id_b")
+      }),
+      // q68's stage ladder (VERDICT r9 #1: the honest cache-cleared cost
+      // has no floor — decompose before touching anything). q68_edges is
+      // the bipartite edge build alone (lineitem scan + distinct +
+      // union); q68_itersN is the full declared query at N iterations,
+      // so (iters5 − iters1)/4 is the marginal per-iteration cost and
+      // iters1 − edges ≈ the persist/degree/node-count preamble + one
+      // iteration + the final materialize.
+      "q68_edges" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+      }),
+      "q68_iters1" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 1).orderBy("node")
+      }),
+      "q68_iters3" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 3).orderBy("node")
+      }),
+      // truncation-strategy A/B at the declared 5 iterations (round 10 —
+      // the measurements the PageRank.ranks scaladoc cites): persist() +
+      // count() truncates via CacheManager.useCachedData's
+      // InMemoryRelation substitution at analysis time; localCheckpoint
+      // via a LogicalRDD leaf. Both bound the plan the next iteration
+      // builds on; persist measured faster and recomputes on eviction.
+      "q68_t2_ckpt" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 5, truncateEvery = 2,
+          truncViaCheckpoint = true).orderBy("node")
+      }),
+      "q68_t2_persist" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 5, truncateEvery = 2,
+          truncViaCheckpoint = false).orderBy("node")
+      }),
+      "q68_t1_ckpt" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 5, truncateEvery = 1,
+          truncViaCheckpoint = true).orderBy("node")
+      }),
+      "q68_t1_persist" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 5, truncateEvery = 1,
+          truncViaCheckpoint = false).orderBy("node")
       }))
     // absorb the fresh-JVM classload/codegen cost (~9 s measured — the
     // PartProbe per-session warmup lesson) so run1 of the first name
@@ -111,6 +190,16 @@ object TimeQuery {
         // plan, so without this a repeat run reuses the previous run's
         // persisted verify intermediates and reports cache-read speed
         spark.catalog.clearCache()
+        // clearCache() frees only CacheManager entries — localCheckpoint
+        // blocks live outside it and otherwise accumulate across repeat
+        // runs until a driver GC (ADVICE r9: the pin A/B's ckpt legs ran
+        // under growing residual storage while the persist legs were
+        // swept clean each run). Unpersisting every still-persistent RDD
+        // frees checkpoint blocks for the pin entries AND for declared
+        // queries that checkpoint internally (q35/q97/q119/q120),
+        // symmetrically for every leg. Safe here: nothing re-executes a
+        // prior run's plan.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         println(f"[timequery] $name run$i $dt%.2f s")
       }
     }
