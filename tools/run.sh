@@ -29,10 +29,15 @@ OPENS_ARGS=()
 for p in "${ADD_OPENS[@]}"; do OPENS_ARGS+=(--add-opens "$p=ALL-UNNAMED"); done
 
 MAIN="$1"; shift
+# SPARK_EXTRA_JAVA_OPTS: optional extra -D flags for codec/config eras
+# (e.g. -Dspark.io.compression.codec=zstd for deep-decade legs whose lz4
+# shuffle spill exceeds the box's free disk — BENCH_SCALE_r09_q34zstd).
+# Intentionally unquoted: word-split on spaces.
 exec java \
   "${OPENS_ARGS[@]}" \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  ${SPARK_EXTRA_JAVA_OPTS:-} \
   -cp "$CLASSES:/opt/spark/jars/*" \
   "$MAIN" "$@"
