@@ -272,21 +272,46 @@ object VectorQueries {
     val k1 = semK1For(k)
     val k2 = (k + k1 - 1) / k1
     val q = quantizedFrame(e)
-    // k1 == 1: every vector lands in coarse cell 0 no matter what the
-    // centroid is, so skip the coarse fit (and its checkpoint) — the
-    // fine fit then equals the flat k-means fit exactly. Otherwise one
-    // bounded materialization (the round-5 CC pattern): the fine
-    // iterations would re-run the whole coarse fit lineage (n·k1
-    // distances) once per iteration.
-    val coarse =
-      if (k1 == 1) q.withColumn("ccid", lit(0))
-      else assignedTo(q, lloydCentroids(q, k1, KmIters))
-        .select(col("vec_id"), col("qv"), col("cid").as("ccid"))
-        .localCheckpoint()
+    val coarse = coarseAssigned(q, k1)
     val fine = lloydFine(coarse, k2, KmIters)
     fine.select(col("vec_id"),
       (col("ccid") * k2 + col("fid")).cast("int").as("cid"))
   }
+
+  /** The checkpoint-backed coarse assignment both [[semanticClusters]]
+    * and [[fitProbe]] build on — (vec_id, qv, ccid) with truncated
+    * lineage, so every fine-level pass reads stored rows instead of
+    * re-running scan+quantize.
+    *
+    * k1 == 1 (corpora at the [[SemK]] floor): every vector lands in
+    * coarse cell 0 whatever the centroid, so the coarse fit is skipped
+    * and the fine fit equals the flat k-means fit exactly; the
+    * localCheckpoint (round 11) still bounds the flat path's lineage —
+    * without it every fine pass re-scans the corpus.
+    *
+    * Coarse branch (round 11, BENCH_SCALE_r11_q115stages): the g300
+    * stage probes showed the coarse fit alone costing as much as the
+    * WHOLE two-level fit (575/658 s vs full-fit 553–568 s, same
+    * morning) even though the fine level runs four more full passes —
+    * because [[lloydCentroids]]' iterations each re-execute the
+    * scan+quantize lineage (5–6 full parquet scans per fit) while fine
+    * reads the checkpointed frame. The fix is the iterative-fit pin
+    * PageRank uses for its edges: persist the quantized corpus (n·dim
+    * ints, ~1.6 GB at 6M vectors; partition-local blocks on a cluster)
+    * for the duration of the coarse fit, release it once the coarse
+    * assignment is checkpoint-backed — the fine level never touches q.
+    * Bit-identical output: pinning changes nothing about the integer
+    * arithmetic. */
+  private def coarseAssigned(q: DataFrame, k1: Int): DataFrame =
+    if (k1 == 1) q.withColumn("ccid", lit(0)).localCheckpoint()
+    else {
+      q.persist()
+      val c = assignedTo(q, lloydCentroids(q, k1, KmIters))
+        .select(col("vec_id"), col("qv"), col("cid").as("ccid"))
+        .localCheckpoint()
+      q.unpersist(blocking = false)
+      c
+    }
 
   /** Nearest FINE centroid within each row's own coarse cell, via ONE
     * [[graft.functions.NearestCentroidExpr]] carrying the whole centroid
@@ -312,34 +337,93 @@ object VectorQueries {
     * integer Lloyd updates keyed by (ccid, fid). Centroids are at most
     * k1·k2 ≈ k rows of dim numbers — the same bounded driver collect as
     * the flat fit. */
-  private def lloydFine(coarse: DataFrame, k2: Int, iters: Int): DataFrame = {
+  private def toCellMap(rows: Array[org.apache.spark.sql.Row],
+      cv: org.apache.spark.sql.Row => Array[Long]): Map[Int, Seq[(Int, Array[Long])]] =
+    rows.map(r => (r.getInt(0), r.getInt(1), cv(r)))
+      .groupBy(_._1)
+      .map { case (c, rs) => c -> rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+
+  /** Fine-level seed centroids: each coarse cell's k2 lowest vec_ids
+    * (cells smaller than k2 get one centroid per member). Factored from
+    * [[lloydFine]] so the round-11 fit decomposition ([[fitProbe]])
+    * times the EXACT seed collect the operator runs. */
+  private[graft] def fineSeeds(coarse: DataFrame,
+      k2: Int): Map[Int, Seq[(Int, Array[Long])]] = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("ccid").orderBy("vec_id")
-    def toCellMap(rows: Array[org.apache.spark.sql.Row],
-        cv: org.apache.spark.sql.Row => Array[Long]): Map[Int, Seq[(Int, Array[Long])]] =
-      rows.map(r => (r.getInt(0), r.getInt(1), cv(r)))
-        .groupBy(_._1)
-        .map { case (c, rs) => c -> rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
-    var cents: Map[Int, Seq[(Int, Array[Long])]] = toCellMap(
+    toCellMap(
       coarse.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k2)
         .select(col("ccid"), (col("rn") - 1).cast("int").as("fid"), col("qv"))
         .collect(),
       r => r.getSeq[Int](2).map(_.toLong).toArray)
+  }
+
+  /** ONE fine-level Lloyd update: assign every row to its nearest
+    * in-cell fine centroid, then recompute centroids as the per-(cell,
+    * fid, component) integer mean — the posexplode fans each row into
+    * dim component rows, the first groupBy's map-side partial
+    * aggregation collapses them to ≤ cells·k2·dim partials per
+    * partition before the shuffle, and the driver collect is ≤ k rows.
+    * Factored from [[lloydFine]] for [[fitProbe]]. */
+  private[graft] def fineUpdate(coarse: DataFrame,
+      cents: Map[Int, Seq[(Int, Array[Long])]]): Map[Int, Seq[(Int, Array[Long])]] =
+    toCellMap(
+      assignedFine(coarse, cents)
+        .select(col("ccid"), col("fid"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy("ccid", "fid", "i")
+        .agg(floor(sum(col("x").cast("long")).cast("double") / count(lit(1)))
+          .cast("long").as("comp"))
+        .groupBy("ccid", "fid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("comp")))),
+          _.getField("comp")).as("cv"))
+        .collect(),
+      r => r.getSeq[Long](2).toArray)
+
+  private def lloydFine(coarse: DataFrame, k2: Int, iters: Int): DataFrame = {
+    var cents: Map[Int, Seq[(Int, Array[Long])]] = fineSeeds(coarse, k2)
     for (_ <- 1 to iters) {
-      cents = toCellMap(
-        assignedFine(coarse, cents)
-          .select(col("ccid"), col("fid"), posexplode(col("qv")).as(Seq("i", "x")))
-          .groupBy("ccid", "fid", "i")
-          .agg(floor(sum(col("x").cast("long")).cast("double") / count(lit(1)))
-            .cast("long").as("comp"))
-          .groupBy("ccid", "fid")
-          .agg(transform(array_sort(collect_list(struct(col("i"), col("comp")))),
-            _.getField("comp")).as("cv"))
-          .collect(),
-        r => r.getSeq[Long](2).toArray)
+      cents = fineUpdate(coarse, cents)
     }
     assignedFine(coarse, cents)
+  }
+
+  /** Stage probes for the q115 fit decomposition (round-11 VERDICT #3:
+    * the two-level Lloyd fit is 86–89% of q115's deep-decade wall at
+    * measured exponent ~1.06 — NAME the linear machinery before any
+    * redesign). Each stage is a PREFIX of [[semanticClusters]] built
+    * from the operator's own factored building blocks, so TimeQuery
+    * deltas isolate the terms:
+    *
+    *   quant            = parquet scan + int8 quantize (narrow map)
+    *   coarse − quant   = coarse k1-Lloyd fit (3 iters) + assign + ckpt
+    *   seeds − coarse   = fine seed window/collect
+    *   assign1 − seeds  = ONE fine distance pass (n·k2 NearestCentroid)
+    *   update1 − assign1= ONE centroid-update agg (posexplode n·dim →
+    *                      partial-agg → k-row collect)
+    *   q115_clusters    = coarse + seeds + 3×(assign+update) + final
+    *                      assign (the whole fit, for cross-check)
+    *
+    * Stages whose work terminates in a driver collect return a 1-row
+    * frame derived from the collected result (the work already happened
+    * inside the timed body; the sink materialization adds nothing). */
+  private[graft] def fitProbe(e: DataFrame, stage: String): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val k = semKFor(e.count())
+    val k1 = semK1For(k)
+    val k2 = (k + k1 - 1) / k1
+    val q = quantizedFrame(e)
+    if (stage == "quant") return q
+    val coarse = coarseAssigned(q, k1)
+    if (stage == "coarse") return coarse
+    val seeds = fineSeeds(coarse, k2)
+    stage match {
+      case "seeds"   => Seq(seeds.size).toDF("cells")
+      case "assign1" => assignedFine(coarse, seeds)
+      case "update1" => Seq(fineUpdate(coarse, seeds).size).toDF("cells")
+      case other     => sys.error(s"unknown fit stage: $other")
+    }
   }
 
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,

@@ -95,8 +95,15 @@ object CandVol {
     (vol, nVec, meanPop, if (popsEff.isEmpty) 0L else popsEff.valuesIterator.max)
   }
 
-  /** All volumes for one corpus directory, keyed by metric name. */
-  def volumes(s: SparkSession, dir: String): Seq[(String, Double)] = {
+  /** All volumes for one corpus directory, keyed by metric name.
+    * `familyOnly` (round 11, `--family`): compute only the DECLARED
+    * at-scale family — q34-capped, q35, q116, q119, q120, q115 — and
+    * skip the documented dials (q36/q114/q122 chunk/permuted simhash,
+    * q113 adaptive, q97 prefix), whose key fan-outs are the expensive
+    * terms at the g1000 decade and whose envelopes are already
+    * measured through g300. */
+  def volumes(s: SparkSession, dir: String,
+      familyOnly: Boolean = false): Seq[(String, Double)] = {
     val docs = Tables.documents(s, dir)
     val embs = Tables.embeddings(s, dir)
     val cap = graft.queries.TextQueries.MaxShingleDf
@@ -120,16 +127,16 @@ object CandVol {
     val minhash = selfJoinVolume(
       Dedup.minhashBandKeys(docs, k = 16, bands = 4, n = 3),
       Seq("band", "band_hash"))
-    val sim36 = selfJoinVolume(
+    val sim36 = if (familyOnly) None else Some(selfJoinVolume(
       Dedup.simhashChunkKeys(Dedup.simhashDocs(docs), maxDist = 12,
         bits = graft.functions.SimHash.Bits),
-      Seq("chunk_idx", "chunk"))
+      Seq("chunk_idx", "chunk")))
     val simsPortable = Dedup.simhashDocsPortable(docs)
     simsPortable.persist()
-    val sim114 = selfJoinVolume(
+    val sim114 = if (familyOnly) None else Some(selfJoinVolume(
       Dedup.simhashChunkKeys(simsPortable, maxDist = 3,
         bits = Dedup.PortableSimHashBits),
-      Seq("chunk_idx", "chunk"))
+      Seq("chunk_idx", "chunk")))
     // q116: Manku block-combination tables — the chance-collision term's
     // fix; its volume should stay ~linear where sim114's n²/2^15 term
     // has taken over
@@ -139,13 +146,13 @@ object CandVol {
       Seq("combo_idx", "combo_key"))
     // q122: recursive permuted tables — 16 tables on 26-27-bit keys;
     // volume should track q116's ~1.0 at 20% less fan-out
-    val sim122 = selfJoinVolume(
+    val sim122 = if (familyOnly) None else Some(selfJoinVolume(
       Dedup.simhashPermutedKeys(simsPortable, maxDist = 3,
         bits = Dedup.PortableSimHashBits, nOuter = 4, nInner = 4),
-      Seq("tbl_idx", "tbl_key"))
+      Seq("tbl_idx", "tbl_key")))
     simsPortable.unpersist()
-    val prefix = selfJoinVolume(
-      Dedup.prefixKeys(docs, threshold = 0.5), Seq("shingle"))
+    val prefix = if (familyOnly) None else Some(selfJoinVolume(
+      Dedup.prefixKeys(docs, threshold = 0.5), Seq("shingle")))
     // q119: corpus × probe band join — the decontamination shape; the
     // probe slice is the declared query's own doc_id % mod split
     val dmod = graft.queries.TextQueries.DecontamMod
@@ -166,15 +173,19 @@ object CandVol {
     // cluster assignment (semanticClusters — factored, not reimplemented)
     val semVol = selfJoinVolume(semanticBlockKeys(embs), Seq("cid"))
 
-    val (bounded, scheme) = Dedup.adaptiveBuckets(embs)
-    val (adVol, nVecs, adMean, adMax) = adaptiveProbeVolume(bounded, scheme)
-    // the probe-plane cap dial (Dedup.probeBuckets maxProbePlanes=8):
-    // volume with the probe-growth term frozen — the <=1.1-exponent
-    // configuration, at the documented recall cost on deep corpora
-    val (adVolCap, _, _, _) = adaptiveProbeVolume(bounded, scheme, 8)
-    System.err.println(
-      f"[candvol] $dir q113: planes=${scheme.planesUsed} buckets=${scheme.nBuckets} " +
-        f"mean_pop=$adMean%.1f max_pop=$adMax")
+    val ad = if (familyOnly) None else {
+      val (bounded, scheme) = Dedup.adaptiveBuckets(embs)
+      val (adVol, nVecs, adMean, adMax) = adaptiveProbeVolume(bounded, scheme)
+      // the probe-plane cap dial (Dedup.probeBuckets maxProbePlanes=8):
+      // volume with the probe-growth term frozen — the <=1.1-exponent
+      // configuration, at the documented recall cost on deep corpora
+      val (adVolCap, _, _, _) = adaptiveProbeVolume(bounded, scheme, 8)
+      System.err.println(
+        f"[candvol] $dir q113: planes=${scheme.planesUsed} buckets=${scheme.nBuckets} " +
+          f"mean_pop=$adMean%.1f max_pop=$adMax")
+      Some((adVol, nVecs, adMean, adMax, adVolCap, scheme))
+    }
+    val nVecs = ad.map(_._2).getOrElse(embs.count())
     Seq(
       ("n_docs", nDocs.toDouble),
       ("n_vecs", nVecs.toDouble),
@@ -183,22 +194,26 @@ object CandVol {
       ("q34_cand_uncapped", ng.getLong(2).toDouble),
       ("postings_kept", ng.getLong(3).toDouble),
       ("hot_shingles_pruned", ng.getLong(4).toDouble),
-      ("q35_minhash_bands", minhash.toDouble),
-      ("q36_simhash_d12", sim36.toDouble),
-      ("q114_simhash_manku", sim114.toDouble),
-      ("q116_simhash_combo", sim116.toDouble),
-      ("q122_simhash_permuted", sim122.toDouble),
-      ("q97_prefix", prefix.toDouble),
-      ("q119_cross_bands", cross.toDouble),
-      ("q120_hist_probe", ingestCross.toDouble),
-      ("q120_within_batch", ingestWithin.toDouble),
-      ("q113_adaptive_probe", adVol.toDouble),
-      ("q113_probe_cap8", adVolCap.toDouble),
-      ("q113_n_planes", scheme.planesUsed.toDouble),
-      ("q113_n_buckets", scheme.nBuckets.toDouble),
-      ("q113_mean_bucket_pop", adMean),
-      ("q113_max_bucket_pop", adMax.toDouble),
-      ("q115_semantic_blocks", semVol.toDouble))
+      ("q35_minhash_bands", minhash.toDouble)) ++
+      sim36.map(v => ("q36_simhash_d12", v.toDouble)) ++
+      sim114.map(v => ("q114_simhash_manku", v.toDouble)) ++
+      Seq(("q116_simhash_combo", sim116.toDouble)) ++
+      sim122.map(v => ("q122_simhash_permuted", v.toDouble)) ++
+      prefix.map(v => ("q97_prefix", v.toDouble)) ++
+      Seq(
+        ("q119_cross_bands", cross.toDouble),
+        ("q120_hist_probe", ingestCross.toDouble),
+        ("q120_within_batch", ingestWithin.toDouble)) ++
+      ad.toSeq.flatMap { case (adVol, _, adMean, adMax, adVolCap, scheme) =>
+        Seq(
+          ("q113_adaptive_probe", adVol.toDouble),
+          ("q113_probe_cap8", adVolCap.toDouble),
+          ("q113_n_planes", scheme.planesUsed.toDouble),
+          ("q113_n_buckets", scheme.nBuckets.toDouble),
+          ("q113_mean_bucket_pop", adMean),
+          ("q113_max_bucket_pop", adMax.toDouble))
+      } ++
+      Seq(("q115_semantic_blocks", semVol.toDouble))
   }
 
   private def fmt(v: Double): String =
@@ -207,11 +222,12 @@ object CandVol {
 
   def main(args: Array[String]): Unit = {
     val out = args.collectFirst { case a if a.startsWith("--out=") => a.drop(6) }
+    val familyOnly = args.contains("--family")
     val dirs = args.filterNot(_.startsWith("--")).toSeq
-    require(dirs.nonEmpty, "usage: CandVol [--out=path.json] <dir> [dir...]")
+    require(dirs.nonEmpty, "usage: CandVol [--out=path.json] [--family] <dir> [dir...]")
     val s = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "candvol")
-    val perDir = dirs.map(d => d -> volumes(s, d))
+    val perDir = dirs.map(d => d -> volumes(s, d, familyOnly))
     perDir.foreach { case (d, vs) =>
       println(s"$d " + vs.map { case (k, v) => s"$k=${fmt(v)}" }.mkString(" "))
     }

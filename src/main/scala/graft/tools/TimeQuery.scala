@@ -24,6 +24,19 @@ object TimeQuery {
         org.apache.spark.sql.DataFrame] = Map(
       "q115_clusters" -> ((s, d) => graft.queries.VectorQueries.semanticClusters(
         graft.core.Tables.embeddings(s, d))),
+      // q115 fit decomposition (round 11): prefix stages of the
+      // two-level Lloyd fit — see VectorQueries.fitProbe's scaladoc for
+      // the delta arithmetic that isolates each term.
+      "q115_fit_quant" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
+        graft.core.Tables.embeddings(s, d), "quant")),
+      "q115_fit_coarse" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
+        graft.core.Tables.embeddings(s, d), "coarse")),
+      "q115_fit_seeds" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
+        graft.core.Tables.embeddings(s, d), "seeds")),
+      "q115_fit_assign1" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
+        graft.core.Tables.embeddings(s, d), "assign1")),
+      "q115_fit_update1" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
+        graft.core.Tables.embeddings(s, d), "update1")),
       // q116's salt dial (output-identical; salt only spreads the
       // candidate join's hot keys): the declared default is 2 (commit
       // 8004558, measured ~35% under salt-4 at g10) — probe the OLD
