@@ -202,6 +202,15 @@ object VectorQueries {
     cents
   }
 
+  // Deliberately NOT pinned across iterations (round 11, contrast
+  // coarseAssigned): q99's k is the fixed bench-scale KmK=16 and its
+  // declared corpus is sf0.1 (20k vectors), where the fit's wall is
+  // session/codegen-bound, not scan-bound — the lineage-pin win that
+  // cut q115's corpus-scale fit 1.4-5.5x (BENCH_SCALE_r11_q115stages)
+  // rounds to noise here, and the pin would leave either a persisted
+  // RDD behind a lazily-returned frame or an extra eager checkpoint in
+  // the plan. If q99 is ever declared at corpus scale, route it
+  // through the coarseAssigned pattern instead of re-deriving this.
   def q99Kmeans(s: SparkSession, d: String): DataFrame = {
     val q = quantizedFrame(Tables.embeddings(s, d))
     val cents = lloydCentroids(q, KmK, KmIters)
