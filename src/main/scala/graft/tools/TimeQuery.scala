@@ -8,15 +8,27 @@ import graft.core.Sessions
   * this exists for the "which stage is the time going to" question they
   * can't answer — e.g. q115's cluster fit vs its pair join.
   *
-  * Usage: runMain graft.tools.TimeQuery <dir> <name>[,name...] [runs]
+  * Usage: runMain graft.tools.TimeQuery [--interleave] <dir> <name>[,name...] [runs]
+  * (--interleave: round-robin the names per run index so cross-stage
+  * deltas share box weather — see main)
   * Names: any SparkEntry.queries key, plus stage probes:
   *   q115_clusters — just the semantic-dedup Lloyd fit + assignment
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: TimeQuery <dir> <name>[,name...] [runs]")
-    val (dir, names) = (args(0), args(1).split(",").toSeq)
-    val runs = if (args.length > 2) args(2).toInt else 2
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    require(pos.length >= 2,
+      "usage: TimeQuery [--interleave] <dir> <name>[,name...] [runs]")
+    val (dir, names) = (pos(0), pos(1).split(",").toSeq)
+    val runs = if (pos.length > 2) pos(2).toInt else 2
+    // --interleave (round 11): run round-robin over the name list
+    // (run1 of every name, then run2 of every name, ...) instead of
+    // all runs of name1 first. Cross-stage DELTAS then compare runs
+    // taken minutes apart under the same box weather — this session's
+    // slow drift (~1.4x across one morning) made sequential-stage
+    // arithmetic mushy twice before this flag existed.
+    val interleave = flags.contains("--interleave")
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "timequery")
     spark.sparkContext.setLogLevel("ERROR")
@@ -191,9 +203,12 @@ object TimeQuery {
     // window, so the protocol stays p50 + per-leg minima
     spark.range(1000000).selectExpr("id % 97 AS k").groupBy("k").count().count()
     val all = graft.SparkEntry.queries ++ stages
-    names.foreach { name =>
+    val schedule: Seq[(String, Int)] =
+      if (interleave) for (i <- 1 to runs; n <- names) yield (n, i)
+      else for (n <- names; i <- 1 to runs) yield (n, i)
+    schedule.foreach { case (name, i) =>
       val fn = all.getOrElse(name, sys.error(s"unknown query $name"))
-      (1 to runs).foreach { i =>
+      locally {
         val t0 = System.nanoTime()
         // noop-sink materialization (Sessions.materialize): count() lets
         // the optimizer prune work out of the timed plan
