@@ -29,12 +29,26 @@ object Dedup {
       .groupBy("fp")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct (id, shingle) pairs with hot-shingle pruning. */
+  /** Distinct (id, shingle) pairs with hot-shingle pruning.
+    *
+    * Deduplication is PER-ROW (`array_distinct` before the explode),
+    * not a frame-level `distinct()`: ids are unique, so the global
+    * distinct set of (id, shingle) equals each doc's own deduped
+    * shingle set — and the frame-level form was a full corpus-sized
+    * shuffle for it (round 11: the g1000 decade's 2.65B exploded rows
+    * overflowed this box's disk through exactly that shuffle; at any
+    * scale it was one whole extra shuffle in the q34/q44/q97/q100
+    * family's lineage for a set-identity no-op). Trade-off made
+    * knowingly: the old distinct's exchange was a reuse point for
+    * multi-consumer plans (ngramJaccard reads sh three times), which
+    * now rescan — narrow, pushdown-pruned, embarrassingly parallel
+    * work, vs a corpus-sized shuffle that is the disk hazard at
+    * depth. */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxDocFreq: Long): DataFrame = {
     val sh = docs
-      .select(col(idCol).as("id"), explode(T.shingles(col(textCol), n)).as("shingle"))
-      .distinct()
+      .select(col(idCol).as("id"),
+        explode(array_distinct(T.shingles(col(textCol), n))).as("shingle"))
     if (maxDocFreq <= 0) sh
     else {
       val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))

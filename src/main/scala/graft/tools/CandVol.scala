@@ -108,10 +108,13 @@ object CandVol {
     val embs = Tables.embeddings(s, dir)
     val cap = graft.queries.TextQueries.MaxShingleDf
 
-    // q34/q44/q100 family: distinct doc-shingle postings, df cap
+    // q34/q44/q100 family: distinct doc-shingle postings, df cap —
+    // per-row array_distinct, the operator's own shuffle-free form
+    // (round 11: the frame-level distinct() was a corpus-sized shuffle
+    // that overflowed disk at g1000; see Dedup.docShingles)
     val sh = docs.select(col("doc_id").as("id"),
-      explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("shingle"))
-      .distinct()
+      explode(array_distinct(
+        graft.functions.TextFunctions.shingles(col("text"), 3))).as("shingle"))
     val ng = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .agg(
         count(lit(1)).as("vocab"),
