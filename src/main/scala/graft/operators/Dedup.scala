@@ -38,12 +38,12 @@ object Dedup {
     * shuffle for it (round 11: the g1000 decade's 2.65B exploded rows
     * overflowed this box's disk through exactly that shuffle; at any
     * scale it was one whole extra shuffle in the q34/q44/q97/q100
-    * family's lineage for a set-identity no-op). Trade-off made
-    * knowingly: the old distinct's exchange was a reuse point for
-    * multi-consumer plans (ngramJaccard reads sh three times), which
-    * now rescan — narrow, pushdown-pruned, embarrassingly parallel
-    * work, vs a corpus-sized shuffle that is the disk hazard at
-    * depth. */
+    * family's lineage for a set-identity no-op). The old distinct's
+    * exchange was also the reuse point for multi-consumer plans
+    * (ngramJaccard reads sh three times + the hot-df aggregate); that
+    * role is now explicit — [[shingleFrame]]'s forms, default "pin"
+    * (one shared localCheckpoint, measured round 12), with this
+    * rescan form as the disk-bound-depth arm. */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxDocFreq: Long): DataFrame = {
     val sh = docs
@@ -56,6 +56,56 @@ object Dedup {
         .select("shingle")
       sh.join(hot, Seq("shingle"), "left_anti")
     }
+  }
+
+  /** How the (id, shingle) frame is produced and SHARED across the
+    * multi-consumer operators' reads ([[ngramJaccard]] /
+    * [[ngramContainment]] read it for the sizes aggregate plus both
+    * sides of the self-join, and the hot-df aggregate adds a fourth):
+    *
+    *  - `"rescan"` — [[docShingles]] as-is: per-row `array_distinct`,
+    *    nothing materialized. Each consumer re-derives the narrow
+    *    scan+explode subtree (Spark reuses only Exchange/Subquery nodes,
+    *    not arbitrary subtrees). The ONLY form with no corpus-sized
+    *    materialization anywhere — shuffle, cache or checkpoint — and
+    *    therefore the only one that survived the g1000 decade's
+    *    2.65B-row exploded corpus against this box's 62 GB of free disk
+    *    (round 11).
+    *  - `"pin"` — same per-row dedup, then ONE eager `localCheckpoint`
+    *    of the (capped) frame shared by every consumer: one scan + one
+    *    block store instead of N rescans. The mid-scale reuse point;
+    *    its stored frame is the exploded corpus (UnsafeRow,
+    *    uncompressed), so at disk-bound depth it re-creates the
+    *    materialization hazard "rescan" removed.
+    *  - `"distinct"` — the round-10 form, kept as an A/B measurement
+    *    arm only: frame-level `distinct()` whose exchange was the
+    *    implicit reuse point, at the price of shuffling the whole
+    *    exploded corpus (the r11 disk overflow).
+    *
+    * Returns the frame plus a free thunk (no-op except for `"pin"`,
+    * where it releases the checkpoint blocks — callers that materialize
+    * eagerly should invoke it; batch entries may leave it to the
+    * ContextCleaner, as [[verifiedJaccard]] documents). */
+  private[graft] def shingleFrame(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDocFreq: Long,
+      form: String): (DataFrame, () => Unit) = form match {
+    case "rescan" => (docShingles(docs, idCol, textCol, n, maxDocFreq), () => ())
+    case "pin" =>
+      val p = docShingles(docs, idCol, textCol, n, maxDocFreq).localCheckpoint()
+      (p, () => graft.core.Sessions.freeCheckpoint(p))
+    case "distinct" =>
+      val sh = docs
+        .select(col(idCol).as("id"), explode(T.shingles(col(textCol), n)).as("shingle"))
+        .distinct()
+      val out = if (maxDocFreq <= 0) sh
+      else {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq)
+          .select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      }
+      (out, () => ())
+    case other => sys.error(s"unknown shingle form: $other")
   }
 
   /** Pairwise n-gram Jaccard >= threshold among docs sharing >= 1 shingle.
@@ -71,21 +121,55 @@ object Dedup {
     * but almost never decides a J >= 0.5 verdict; cap it. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
       idCol: String = "doc_id", textCol: String = "text",
-      maxDocFreq: Long = 0L): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n, maxDocFreq)
+      maxDocFreq: Long = 0L): DataFrame =
+    ngramJaccardForm(docs, n, threshold, idCol, textCol, maxDocFreq,
+      DefaultShingleForm)._1
+
+  /** Default [[shingleFrame]] form for the public n-gram entries.
+    *
+    * "pin" by MEASUREMENT (round 12, BENCH_SCALE_r12_shform: one
+    * --interleave session per scale, floors): q34 sf0.1
+    * pin 6.91 / distinct 6.04 / rescan 8.95; q44 sf0.1
+    * 9.06 / 8.92 / 11.96; q34 g10 72.4 / 79.2 / 92.8; q44 g10
+    * 104.1 / 116.6 / 115.4. The r11 rescan form costs ~+25–35% at
+    * mid-scale (the r11 headline regression's code share), the r10
+    * distinct form ties pin at sf0.1 but is already losing at g10 as
+    * its corpus-sized shuffle grows — and it is the form whose spill
+    * overflowed local disk at g1000. Pin keeps one scan + one block
+    * store; its store is the capped exploded corpus, so on a
+    * disk-bound LOCAL box at the deepest decades the "rescan" arm
+    * remains the safe explicit choice (the g1000 envelope:
+    * 2.65B exploded rows vs 62 GB free disk; on a real cluster the
+    * store is spread over executor storage and compresses under
+    * spark.rdd.compress). */
+  private[graft] val DefaultShingleForm = "pin"
+
+  /** [[ngramJaccard]] with an explicit [[shingleFrame]] form, returning
+    * the free thunk. PRECONDITION (all forms): `idCol` values are
+    * unique. The per-row `array_distinct` forms equal the frame-level
+    * distinct ONLY then (ids unique ⇒ the global distinct (id, shingle)
+    * set is the union of each doc's own deduped set — DedupSpec pins the
+    * three-form equivalence on a corpus with in-doc repeats); a caller
+    * feeding duplicate ids would silently inflate df and n_sh instead
+    * of deduping. Every repo caller passes a primary-key doc_id. */
+  private[graft] def ngramJaccardForm(docs: DataFrame, n: Int,
+      threshold: Double, idCol: String, textCol: String, maxDocFreq: Long,
+      form: String): (DataFrame, () => Unit) = {
+    val (sh, free) = shingleFrame(docs, idCol, textCol, n, maxDocFreq, form)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("shingle"), col("id").as("id_a"))
       .join(sh.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_common"))
-    common
+    val out = common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("sa")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("sb")), Seq("id_b"))
       .withColumn("jaccard",
         round(col("n_common") / (col("sa") + col("sb") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "jaccard")
+    (out, free)
   }
 
   /** Per-document duplicated-span statistics: for each doc, how many of
@@ -132,12 +216,14 @@ object Dedup {
     * a larger one, which Jaccard structurally misses: J = |∩|/|∪| decays
     * toward 0 as the larger doc grows even when the smaller doc is
     * copied verbatim, while containment stays 1. Same candidate
-    * machinery and hot-shingle bound as [[ngramJaccard]]; only the
-    * normalizer differs. Output: id_a < id_b, n_common, containment. */
+    * machinery, hot-shingle bound and unique-`idCol` precondition as
+    * [[ngramJaccard]]; only the normalizer differs.
+    * Output: id_a < id_b, n_common, containment. */
   def ngramContainment(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
       maxDocFreq: Long = 0L): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n, maxDocFreq)
+    val (sh, _) = shingleFrame(docs, idCol, textCol, n, maxDocFreq,
+      DefaultShingleForm)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("shingle"), col("id").as("id_a"))
       .join(sh.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))

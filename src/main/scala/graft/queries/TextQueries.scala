@@ -322,11 +322,14 @@ object TextQueries {
       .withColumn("min_id", min("doc_id").over(w))
       .filter(col("doc_id") === col("min_id"))
       .drop("fp", "min_id")
-    val pairs = Dedup.ngramJaccard(exactKept, n = 3, threshold = 0.5,
-        maxDocFreq = MaxShingleDf)
-      .select("id_a", "id_b")
-    val comp = ConnectedComponents.resolve(pairs)
+    val (pairsAll, shFree) = Dedup.ngramJaccardForm(exactKept, n = 3,
+      threshold = 0.5, idCol = "doc_id", textCol = "text",
+      maxDocFreq = MaxShingleDf, form = Dedup.DefaultShingleForm)
+    val comp = ConnectedComponents.resolve(pairsAll.select("id_a", "id_b"))
       .withColumnRenamed("id", "doc_id")
+    // resolve materialized the pair lineage eagerly; the shingle frame's
+    // pinned blocks (pin form) are dead weight from here on
+    shFree()
     exactKept.join(comp, Seq("doc_id"), "left")
       .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
       .withColumn("split", T.splitLabel(col("doc_id")))
@@ -384,13 +387,26 @@ object TextQueries {
     * step that makes pairwise dedup output usable downstream: "keep row
     * iff doc_id == component". Oracle: DuckDB recursive CTE computing
     * min-reachable-id over the same exact-Jaccard edges. */
-  def q44DedupClusters(s: SparkSession, d: String): DataFrame = {
+  def q44DedupClusters(s: SparkSession, d: String): DataFrame =
+    q44WithForm(s, d, Dedup.DefaultShingleForm)
+
+  /** [[q44DedupClusters]] with an explicit shingle-frame form — the
+    * round-12 A/B arm behind TimeQuery's q44_rescan/q44_pin/q44_distinct
+    * (the r11 docShingles trade-off left the family's mid-scale rescan
+    * cost unmeasured; output is form-independent, DedupSpec pins it).
+    * The pin form's checkpoint blocks are freed as soon as
+    * [[ConnectedComponents.resolve]] returns: resolve materializes the
+    * pair lineage eagerly into its own localCheckpoint, so nothing
+    * re-executes the shingle frame afterwards. */
+  private[graft] def q44WithForm(s: SparkSession, d: String,
+      form: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5,
-        maxDocFreq = MaxShingleDf)
-      .select("id_a", "id_b")
-    val comp = ConnectedComponents.resolve(pairs)
+    val (pairsAll, free) = Dedup.ngramJaccardForm(docs, n = 3,
+      threshold = 0.5, idCol = "doc_id", textCol = "text",
+      maxDocFreq = MaxShingleDf, form = form)
+    val comp = ConnectedComponents.resolve(pairsAll.select("id_a", "id_b"))
       .withColumnRenamed("id", "doc_id")
+    free()
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -405,11 +421,12 @@ object TextQueries {
     * pipeline user actually runs; q33-q44 are its pieces. */
   def q56DedupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5,
-        maxDocFreq = MaxShingleDf)
-      .select("id_a", "id_b")
-    val comp = ConnectedComponents.resolve(pairs)
+    val (pairsAll, shFree) = Dedup.ngramJaccardForm(docs, n = 3,
+      threshold = 0.5, idCol = "doc_id", textCol = "text",
+      maxDocFreq = MaxShingleDf, form = Dedup.DefaultShingleForm)
+    val comp = ConnectedComponents.resolve(pairsAll.select("id_a", "id_b"))
       .withColumnRenamed("id", "doc_id")
+    shFree()
     docs.join(comp, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
       .withColumn("kept", col("component") === col("doc_id"))

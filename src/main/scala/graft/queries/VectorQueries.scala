@@ -310,7 +310,21 @@ object VectorQueries {
     * for the duration of the coarse fit, release it once the coarse
     * assignment is checkpoint-backed — the fine level never touches q.
     * Bit-identical output: pinning changes nothing about the integer
-    * arithmetic. */
+    * arithmetic.
+    *
+    * RETENTION (ADVICE r11): the checkpoint blocks (both branches)
+    * CANNOT be freed inside the operator — the returned assignment and
+    * everything [[semanticClusters]] derives from it read them on every
+    * downstream execution, so an eager free would break the caller's
+    * plan rather than recompute (localCheckpoint truncates lineage).
+    * They are released when the driver GC collects the frame (the
+    * ContextCleaner pattern [[graft.operators.Dedup.verifiedJaccard]]
+    * documents); the timing harnesses sweep persistent RDDs between
+    * runs. A long-lived session calling q115 repeatedly accumulates
+    * one quantized-corpus checkpoint per call until a GC cycle —
+    * bounded by n·dim ints each, and on a real cluster spread across
+    * executor storage; if that ever bites, the fix is a WithFrees-style
+    * entry whose caller frees after materializing the result. */
   private def coarseAssigned(q: DataFrame, k1: Int): DataFrame =
     if (k1 == 1) q.withColumn("ccid", lit(0)).localCheckpoint()
     else {

@@ -188,7 +188,13 @@ object CandVol {
           f"mean_pop=$adMean%.1f max_pop=$adMax")
       Some((adVol, nVecs, adMean, adMax, adVolCap, scheme))
     }
-    val nVecs = ad.map(_._2).getOrElse(embs.count())
+    // n_vecs is ALWAYS the full table count (ADVICE r11): the bounded
+    // frame's count excludes vectors in blocks dropped by the
+    // maxItemsPerBlock left_anti, so using it as the exponent base in
+    // full mode while --family used embs.count() would give q113/q115
+    // exponents computed across modes different denominators. The
+    // bounded count stays available as its own q113 metric below.
+    val nVecs = embs.count()
     Seq(
       ("n_docs", nDocs.toDouble),
       ("n_vecs", nVecs.toDouble),
@@ -207,8 +213,9 @@ object CandVol {
         ("q119_cross_bands", cross.toDouble),
         ("q120_hist_probe", ingestCross.toDouble),
         ("q120_within_batch", ingestWithin.toDouble)) ++
-      ad.toSeq.flatMap { case (adVol, _, adMean, adMax, adVolCap, scheme) =>
+      ad.toSeq.flatMap { case (adVol, boundedVecs, adMean, adMax, adVolCap, scheme) =>
         Seq(
+          ("q113_bounded_vecs", boundedVecs.toDouble),
           ("q113_adaptive_probe", adVol.toDouble),
           ("q113_probe_cap8", adVolCap.toDouble),
           ("q113_n_planes", scheme.planesUsed.toDouble),

@@ -17,6 +17,11 @@ import graft.core.Sessions
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
+    // fail fast on unknown flags (ADVICE r11): a typo'd --interleave
+    // silently running the sequential schedule would invalidate a
+    // same-weather delta protocol with no signal
+    require(flags.subsetOf(Set("--interleave")),
+      s"unknown flags: ${(flags -- Set("--interleave")).mkString(", ")}")
     val pos = args.filterNot(_.startsWith("--"))
     require(pos.length >= 2,
       "usage: TimeQuery [--interleave] <dir> <name>[,name...] [runs]")
@@ -36,6 +41,33 @@ object TimeQuery {
         org.apache.spark.sql.DataFrame] = Map(
       "q115_clusters" -> ((s, d) => graft.queries.VectorQueries.semanticClusters(
         graft.core.Tables.embeddings(s, d))),
+      // shingle-frame form A/B (round 12, VERDICT r11 #1): the r11
+      // docShingles change traded the frame-distinct's exchange-reuse
+      // for per-consumer rescans and landed with only a stormy-window
+      // bench behind it — these arms run the DECLARED q34/q44 plans
+      // with the three forms (rescan = current, pin = one shared
+      // localCheckpoint, distinct = the r10 exchange-reuse form) so one
+      // --interleave session decides the default on shared weather.
+      // Pin-arm checkpoint blocks are swept by the per-run
+      // getPersistentRDDs cleanup below.
+      "q34_rescan" -> ((s, d) => graft.operators.Dedup.ngramJaccardForm(
+        graft.core.Tables.documents(s, d), 3, 0.5, "doc_id", "text",
+        graft.queries.TextQueries.MaxShingleDf, "rescan")._1
+        .orderBy("id_a", "id_b")),
+      "q34_pin" -> ((s, d) => graft.operators.Dedup.ngramJaccardForm(
+        graft.core.Tables.documents(s, d), 3, 0.5, "doc_id", "text",
+        graft.queries.TextQueries.MaxShingleDf, "pin")._1
+        .orderBy("id_a", "id_b")),
+      "q34_distinct" -> ((s, d) => graft.operators.Dedup.ngramJaccardForm(
+        graft.core.Tables.documents(s, d), 3, 0.5, "doc_id", "text",
+        graft.queries.TextQueries.MaxShingleDf, "distinct")._1
+        .orderBy("id_a", "id_b")),
+      "q44_rescan" -> ((s, d) =>
+        graft.queries.TextQueries.q44WithForm(s, d, "rescan")),
+      "q44_pin" -> ((s, d) =>
+        graft.queries.TextQueries.q44WithForm(s, d, "pin")),
+      "q44_distinct" -> ((s, d) =>
+        graft.queries.TextQueries.q44WithForm(s, d, "distinct")),
       // q115 fit decomposition (round 11): prefix stages of the
       // two-level Lloyd fit — see VectorQueries.fitProbe's scaladoc for
       // the delta arithmetic that isolates each term.

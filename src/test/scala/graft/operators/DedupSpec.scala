@@ -35,6 +35,31 @@ class DedupSpec extends SparkSpec {
     assert(j == 0.8333)
   }
 
+  test("shingle-frame forms (rescan/pin/distinct) agree on a corpus with in-doc repeats") {
+    // repeated phrases INSIDE each doc: the per-row array_distinct forms
+    // equal the frame-level distinct() exactly when ids are unique — the
+    // precondition ngramJaccardForm's scaladoc states; this corpus makes
+    // the repeat case load-bearing (docs 0/1 repeat their own trigrams),
+    // and the capped run exercises the hot-df consumer under each form
+    val rep = Seq(
+      (0L, "alpha beta gamma alpha beta gamma alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma alpha beta gamma alpha beta gamma delta epsilon eta"),
+      (2L, "one two three four five six one two three four five six seven"),
+      (3L, "totally unrelated words about catalyst plans and shuffle partitions"),
+    ).toDF("doc_id", "text")
+    for (cap <- Seq(0L, 2L)) {
+      val ref = Dedup.ngramJaccardForm(rep, 3, 0.2, "doc_id", "text", cap,
+        "distinct")._1.orderBy("id_a", "id_b").collect().toSeq
+      for (form <- Seq("rescan", "pin")) {
+        val (df, free) = Dedup.ngramJaccardForm(rep, 3, 0.2, "doc_id", "text",
+          cap, form)
+        val got = df.orderBy("id_a", "id_b").collect().toSeq
+        free()
+        assert(got == ref, s"form=$form cap=$cap diverged from distinct")
+      }
+    }
+  }
+
   test("hot-shingle pruning keeps near-dup pairs while bounding join width") {
     // shingles of the 2/3 near-dup pair are rare; df cap removes only the
     // corpus-wide hot shingles, so the pair survives with jaccard intact
