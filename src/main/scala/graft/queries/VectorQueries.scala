@@ -177,8 +177,28 @@ object VectorQueries {
     * Centroids are k×dim numbers, driver-resident between iterations
     * (the documented bounded collect); each iteration costs one
     * (cid, component) aggregate. */
-  private def lloydCentroids(q: DataFrame, k: Int,
-      iters: Int): Seq[(Int, Array[Long])] = {
+  /** Centroid-update strategy for the Lloyd fits. `false` = the
+    * original posexplode formulation (fan each row into dim (cid, i, x)
+    * rows, two-level scalar aggregate); `true` = ONE
+    * [[graft.functions.VecSum]] aggregate per group (whole-vector
+    * partial state, no n·dim fan-out, k·parts instead of k·dim·parts
+    * emitted partials). Outputs are bit-identical —
+    * Math.floorDiv(sum, n) == floor(sum.toDouble / n) at these
+    * magnitudes (VecSum scaladoc has the argument, VectorQueriesSpec
+    * the assertion). Default decided by the round-12 fitProbe A/B. */
+  private[graft] val VecSumUpdates = false
+
+  /** Sums+count → centroid components, shared by both VecSum update
+    * paths: comp_i = floorDiv(sum_i, n). */
+  private def centsFromSums(sums: Seq[Long], n: Long): Array[Long] = {
+    val out = new Array[Long](sums.length)
+    var i = 0
+    while (i < out.length) { out(i) = Math.floorDiv(sums(i), n); i += 1 }
+    out
+  }
+
+  private def lloydCentroids(q: DataFrame, k: Int, iters: Int,
+      viaVecSum: Boolean = VecSumUpdates): Seq[(Int, Array[Long])] = {
     var cents: Seq[(Int, Array[Long])] = q.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("qv"))
       .collect()
@@ -187,17 +207,27 @@ object VectorQueries {
     require(cents.size == k,
       s"k-means seeding needs vec_ids 0..${k - 1} present; found ${cents.size}")
     for (_ <- 1 to iters) {
-      cents = assignedTo(q, cents)
-        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy("cid", "i")
-        .agg(floor(sum(col("x").cast("long")).cast("double") / count(lit(1)))
-          .cast("long").as("comp"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("comp")))),
-          _.getField("comp")).as("cv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1).toSeq
+      cents =
+        if (viaVecSum)
+          assignedTo(q, cents)
+            .groupBy("cid")
+            .agg(graft.functions.VecSum(col("qv")).as("sums"),
+              count(lit(1)).as("n"))
+            .collect()
+            .map(r => (r.getInt(0), centsFromSums(r.getSeq[Long](1), r.getLong(2))))
+            .sortBy(_._1).toSeq
+        else
+          assignedTo(q, cents)
+            .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+            .groupBy("cid", "i")
+            .agg(floor(sum(col("x").cast("long")).cast("double") / count(lit(1)))
+              .cast("long").as("comp"))
+            .groupBy("cid")
+            .agg(transform(array_sort(collect_list(struct(col("i"), col("comp")))),
+              _.getField("comp")).as("cv"))
+            .collect()
+            .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+            .sortBy(_._1).toSeq
     }
     cents
   }
@@ -276,13 +306,14 @@ object VectorQueries {
     * unrolls BOTH levels. Factored out so [[graft.tools.CandVol]]
     * measures the cluster-blocked pair volume from the EXACT blocks the
     * operator joins, not a reimplementation. */
-  private[graft] def semanticClusters(e: DataFrame): DataFrame = {
+  private[graft] def semanticClusters(e: DataFrame,
+      viaVecSum: Boolean = VecSumUpdates): DataFrame = {
     val k = semKFor(e.count())
     val k1 = semK1For(k)
     val k2 = (k + k1 - 1) / k1
     val q = quantizedFrame(e)
-    val coarse = coarseAssigned(q, k1)
-    val fine = lloydFine(coarse, k2, KmIters)
+    val coarse = coarseAssigned(q, k1, viaVecSum)
+    val fine = lloydFine(coarse, k2, KmIters, viaVecSum)
     fine.select(col("vec_id"),
       (col("ccid") * k2 + col("fid")).cast("int").as("cid"))
   }
@@ -325,11 +356,12 @@ object VectorQueries {
     * bounded by n·dim ints each, and on a real cluster spread across
     * executor storage; if that ever bites, the fix is a WithFrees-style
     * entry whose caller frees after materializing the result. */
-  private def coarseAssigned(q: DataFrame, k1: Int): DataFrame =
+  private def coarseAssigned(q: DataFrame, k1: Int,
+      viaVecSum: Boolean = VecSumUpdates): DataFrame =
     if (k1 == 1) q.withColumn("ccid", lit(0)).localCheckpoint()
     else {
       q.persist()
-      val c = assignedTo(q, lloydCentroids(q, k1, KmIters))
+      val c = assignedTo(q, lloydCentroids(q, k1, KmIters, viaVecSum))
         .select(col("vec_id"), col("qv"), col("cid").as("ccid"))
         .localCheckpoint()
       q.unpersist(blocking = false)
@@ -390,23 +422,34 @@ object VectorQueries {
     * partition before the shuffle, and the driver collect is ≤ k rows.
     * Factored from [[lloydFine]] for [[fitProbe]]. */
   private[graft] def fineUpdate(coarse: DataFrame,
-      cents: Map[Int, Seq[(Int, Array[Long])]]): Map[Int, Seq[(Int, Array[Long])]] =
-    toCellMap(
-      assignedFine(coarse, cents)
-        .select(col("ccid"), col("fid"), posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy("ccid", "fid", "i")
-        .agg(floor(sum(col("x").cast("long")).cast("double") / count(lit(1)))
-          .cast("long").as("comp"))
-        .groupBy("ccid", "fid")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("comp")))),
-          _.getField("comp")).as("cv"))
-        .collect(),
-      r => r.getSeq[Long](2).toArray)
+      cents: Map[Int, Seq[(Int, Array[Long])]],
+      viaVecSum: Boolean = VecSumUpdates): Map[Int, Seq[(Int, Array[Long])]] =
+    if (viaVecSum)
+      toCellMap(
+        assignedFine(coarse, cents)
+          .groupBy("ccid", "fid")
+          .agg(graft.functions.VecSum(col("qv")).as("sums"),
+            count(lit(1)).as("n"))
+          .collect(),
+        r => centsFromSums(r.getSeq[Long](2), r.getLong(3)))
+    else
+      toCellMap(
+        assignedFine(coarse, cents)
+          .select(col("ccid"), col("fid"), posexplode(col("qv")).as(Seq("i", "x")))
+          .groupBy("ccid", "fid", "i")
+          .agg(floor(sum(col("x").cast("long")).cast("double") / count(lit(1)))
+            .cast("long").as("comp"))
+          .groupBy("ccid", "fid")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("comp")))),
+            _.getField("comp")).as("cv"))
+          .collect(),
+        r => r.getSeq[Long](2).toArray)
 
-  private def lloydFine(coarse: DataFrame, k2: Int, iters: Int): DataFrame = {
+  private def lloydFine(coarse: DataFrame, k2: Int, iters: Int,
+      viaVecSum: Boolean = VecSumUpdates): DataFrame = {
     var cents: Map[Int, Seq[(Int, Array[Long])]] = fineSeeds(coarse, k2)
     for (_ <- 1 to iters) {
-      cents = fineUpdate(coarse, cents)
+      cents = fineUpdate(coarse, cents, viaVecSum)
     }
     assignedFine(coarse, cents)
   }
@@ -426,6 +469,14 @@ object VectorQueries {
     *                      partial-agg → k-row collect)
     *   q115_clusters    = coarse + seeds + 3×(assign+update) + final
     *                      assign (the whole fit, for cross-check)
+    *   coarseagg / update1agg (round 12) = the same coarse / update1
+    *                      prefixes with centroid updates via the
+    *                      [[graft.functions.VecSum]] whole-vector
+    *                      aggregate instead of posexplode — interleave
+    *                      each with its plain twin for the
+    *                      update-strategy A/B (update1agg keeps the
+    *                      plain coarse prefix so the delta isolates
+    *                      the update step)
     *
     * Stages whose work terminates in a driver collect return a 1-row
     * frame derived from the collected result (the work already happened
@@ -438,13 +489,20 @@ object VectorQueries {
     val k2 = (k + k1 - 1) / k1
     val q = quantizedFrame(e)
     if (stage == "quant") return q
-    val coarse = coarseAssigned(q, k1)
-    if (stage == "coarse") return coarse
+    // "*agg" stages (round 12): same prefix, centroid updates via the
+    // VecSum whole-vector aggregate instead of posexplode — the
+    // update-strategy A/B runs as interleaved stage pairs. update1agg
+    // keeps the STANDARD coarse prefix so its delta vs update1 isolates
+    // the update step alone (coarse output is bit-identical either way,
+    // but its cost is not).
+    val coarse = coarseAssigned(q, k1, viaVecSum = stage == "coarseagg")
+    if (stage == "coarse" || stage == "coarseagg") return coarse
     val seeds = fineSeeds(coarse, k2)
     stage match {
       case "seeds"   => Seq(seeds.size).toDF("cells")
       case "assign1" => assignedFine(coarse, seeds)
-      case "update1" => Seq(fineUpdate(coarse, seeds).size).toDF("cells")
+      case "update1" => Seq(fineUpdate(coarse, seeds, viaVecSum = false).size).toDF("cells")
+      case "update1agg" => Seq(fineUpdate(coarse, seeds, viaVecSum = true).size).toDF("cells")
       case other     => sys.error(s"unknown fit stage: $other")
     }
   }

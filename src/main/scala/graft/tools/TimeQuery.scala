@@ -81,6 +81,15 @@ object TimeQuery {
         graft.core.Tables.embeddings(s, d), "assign1")),
       "q115_fit_update1" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
         graft.core.Tables.embeddings(s, d), "update1")),
+      // round-12 update-strategy arms: centroid updates via the VecSum
+      // whole-vector aggregate (see VecSum scaladoc) vs the posexplode
+      // form — interleave with the plain stages for same-weather deltas
+      "q115_fit_coarse_agg" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
+        graft.core.Tables.embeddings(s, d), "coarseagg")),
+      "q115_fit_update1_agg" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
+        graft.core.Tables.embeddings(s, d), "update1agg")),
+      "q115_clusters_agg" -> ((s, d) => graft.queries.VectorQueries.semanticClusters(
+        graft.core.Tables.embeddings(s, d), viaVecSum = true)),
       // q116's salt dial (output-identical; salt only spreads the
       // candidate join's hot keys): the declared default is 2 (commit
       // 8004558, measured ~35% under salt-4 at g10) — probe the OLD

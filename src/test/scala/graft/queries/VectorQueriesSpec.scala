@@ -151,6 +151,29 @@ class VectorQueriesSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("VecSum and posexplode centroid updates produce identical clusters") {
+    // the two update strategies must be BIT-identical (floorDiv(sum, n)
+    // vs floor(sum/count as double) — VecSum's scaladoc argues it, this
+    // asserts it end-to-end), including on clusters whose component sums
+    // are negative: the fixture embeddings carry negative components, and
+    // the singleton check below forces an explicit negative-sum division
+    val e = graft.core.Tables.embeddings(spark, d)
+    val base = VectorQueries.semanticClusters(e, viaVecSum = false)
+      .as[(Long, Int)].collect().sorted.toSeq
+    val agg = VectorQueries.semanticClusters(e, viaVecSum = true)
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(base == agg, "update strategies diverged")
+    // floorDiv-vs-truncation corner: a group with a negative odd sum
+    // (sum = -3, n = 2) must floor to -2, not truncate to -1
+    val neg = Seq((0L, Seq(-1, 3)), (1L, Seq(-2, 3))).toDF("id", "qv")
+      .groupBy(lit(1).as("g"))
+      .agg(graft.functions.VecSum(col("qv")).as("sums"), count(lit(1)).as("n"))
+      .select(col("sums"), col("n")).as[(Seq[Long], Long)].head()
+    assert(neg._1 == Seq(-3L, 6L) && neg._2 == 2L)
+    assert(Math.floorDiv(neg._1.head, neg._2) == -2L,
+      "floor semantics on negative sums")
+  }
+
   test("q99 is invariant to shuffle partitioning (the determinism claim)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val a = VectorQueries.q99Kmeans(spark, d)
