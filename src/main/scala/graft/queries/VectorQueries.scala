@@ -148,9 +148,26 @@ object VectorQueries {
     * nothing but pre-combined partial sums, at any corpus size. */
   /** (vec_id, qv) — the int8-quantized corpus the Lloyd machinery runs
     * on (shared by q99 and q115). */
-  private def quantizedFrame(e: DataFrame): DataFrame =
-    e.select(col("vec_id"),
-      V.quantize(col("embedding"), V.quantScale(col("embedding"))).as("qv"))
+  /** Quantization strategy: `false` = the Column form (aggregate +
+    * transform higher-order functions — CodegenFallback, interpreted,
+    * per-element BigDecimal in the builtin round); `true` = the fused
+    * codegen [[graft.functions.QuantizeExpr]]. Outputs bit-identical
+    * (QuantizeUtil scaladoc has the argument; FunctionLaws and
+    * VectorQueriesSpec the assertions). DEFAULT TRUE by measurement
+    * (BENCH_SCALE_r12_q115stages, g300 interleaved pair): quant stage
+    * 45.4/46.7 s interpreted vs 0.63/1.10 s fused — 42×; the quantize
+    * pass was the whole fit floor at g100 (~21 of 24.6 s) and the
+    * largest term left in the post-NcAssign coarse fit at g300. */
+  private[graft] val CodegenQuantize = true
+
+  private[graft] def quantizedFrame(e: DataFrame,
+      viaExpr: Boolean = CodegenQuantize): DataFrame =
+    if (viaExpr)
+      e.select(col("vec_id"),
+        graft.functions.QuantizeFn.quantizeVec(col("embedding")).as("qv"))
+    else
+      e.select(col("vec_id"),
+        V.quantize(col("embedding"), V.quantScale(col("embedding"))).as("qv"))
 
   /** Squared distance to a constant centroid — the codegen expression
     * ([[graft.functions.SqDistExpr]]); integer-identical to the old
@@ -159,18 +176,49 @@ object VectorQueries {
   private def distTo(cv: Array[Long]): Column =
     graft.functions.SqDistFn.sqDist(col("qv"), cv)
 
+  /** Flat-assignment strategy: `false` = the Column formulation
+    * (array_min over k literal struct(sq_dist, cid) sub-expressions —
+    * generated code GROWS with k, and past a threshold between k=40
+    * and k=70 the hot method stops being JIT-compilable: the round-12
+    * g300 fit decomposition measured the coarse fit at 383 s against
+    * ~2 s of the same work at g100's k1=40, with quantize linear and
+    * the update aggregate ruled out by its own A/B arm — the
+    * k1-literal assign is the residual by elimination, the same
+    * code-size cliff [[assignedFine]] hit at 484 literals and solved
+    * with [[graft.functions.NearestCentroidExpr]]'s constant-size
+    * generated code); `true` = that same expression with a single-cell
+    * table. Outputs bit-identical: the expression's strict-minimum
+    * fid-ascending loop IS array_min's lexicographic (dist, cid)
+    * struct-min (its scaladoc carries the argument; the
+    * VectorQueriesSpec strategy test asserts it end-to-end). DEFAULT
+    * TRUE by measurement (BENCH_SCALE_r12_q115stages, g300 interleaved
+    * pair): coarse prefix 330.9/337.5 s with the k1=70-literal form vs
+    * 55.9/60.5 s via NearestCentroidExpr — and ~46 s of the remainder
+    * is the interpreted quantize, so the assign itself shrank ~20×.
+    * This was the round-11 open residual (g300 fit floor 399.9 vs a
+    * 137 s distance model). */
+  private[graft] val NcAssign = true
+
   /** Nearest-centroid assignment (ties toward the lower cid): a narrow
-    * map over the corpus — centroids are injected as literals, so no
-    * join and no shuffle. */
-  private def assignedTo(q: DataFrame,
-      cents: Seq[(Int, Array[Long])]): DataFrame = {
-    val scored = cents.map { case (cid, cv) =>
-      struct(distTo(cv).as("dist"), lit(cid).as("cid"))
+    * map over the corpus — centroids are injected as literals (Column
+    * form) or as one table reference ([[NcAssign]] form), so no join
+    * and no shuffle either way. */
+  private def assignedTo(q: DataFrame, cents: Seq[(Int, Array[Long])],
+      viaNc: Boolean = NcAssign): DataFrame =
+    if (viaNc) {
+      val table = Map(0 -> cents.sortBy(_._1).toArray)
+      q.withColumn("m",
+          graft.functions.NearestCentroidFn.nearestCentroid(lit(0), col("qv"), table))
+        .select(col("vec_id"), col("qv"),
+          col("m.fid").as("cid"), col("m.dist").as("dist"))
+    } else {
+      val scored = cents.map { case (cid, cv) =>
+        struct(distTo(cv).as("dist"), lit(cid).as("cid"))
+      }
+      q.withColumn("m", array_min(array(scored: _*)))
+        .select(col("vec_id"), col("qv"),
+          col("m.cid").as("cid"), col("m.dist").as("dist"))
     }
-    q.withColumn("m", array_min(array(scored: _*)))
-      .select(col("vec_id"), col("qv"),
-        col("m.cid").as("cid"), col("m.dist").as("dist"))
-  }
 
   /** `iters` Lloyd iterations from the data-deterministic seed (the
     * quantized vectors of vec_id 0..k-1); returns the final centroids.
@@ -185,8 +233,12 @@ object VectorQueries {
     * emitted partials). Outputs are bit-identical —
     * Math.floorDiv(sum, n) == floor(sum.toDouble / n) at these
     * magnitudes (VecSum scaladoc has the argument, VectorQueriesSpec
-    * the assertion). Default decided by the round-12 fitProbe A/B. */
-  private[graft] val VecSumUpdates = false
+    * the assertion). DEFAULT TRUE by measurement
+    * (BENCH_SCALE_r12_q115stages): full fit 405.5 → 350.2 s at g300
+    * with only this strategy swapped (six update aggregates saved
+    * ~9 s each); at g100 the isolated update1 delta read 3.1/5.5 s
+    * posexplode vs 1.1/2.3 s VecSum on both interleaved runs. */
+  private[graft] val VecSumUpdates = true
 
   /** Sums+count → centroid components, shared by both VecSum update
     * paths: comp_i = floorDiv(sum_i, n). */
@@ -198,7 +250,8 @@ object VectorQueries {
   }
 
   private def lloydCentroids(q: DataFrame, k: Int, iters: Int,
-      viaVecSum: Boolean = VecSumUpdates): Seq[(Int, Array[Long])] = {
+      viaVecSum: Boolean = VecSumUpdates,
+      viaNc: Boolean = NcAssign): Seq[(Int, Array[Long])] = {
     var cents: Seq[(Int, Array[Long])] = q.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("qv"))
       .collect()
@@ -209,7 +262,7 @@ object VectorQueries {
     for (_ <- 1 to iters) {
       cents =
         if (viaVecSum)
-          assignedTo(q, cents)
+          assignedTo(q, cents, viaNc)
             .groupBy("cid")
             .agg(graft.functions.VecSum(col("qv")).as("sums"),
               count(lit(1)).as("n"))
@@ -217,7 +270,7 @@ object VectorQueries {
             .map(r => (r.getInt(0), centsFromSums(r.getSeq[Long](1), r.getLong(2))))
             .sortBy(_._1).toSeq
         else
-          assignedTo(q, cents)
+          assignedTo(q, cents, viaNc)
             .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
             .groupBy("cid", "i")
             .agg(floor(sum(col("x").cast("long")).cast("double") / count(lit(1)))
@@ -307,12 +360,14 @@ object VectorQueries {
     * measures the cluster-blocked pair volume from the EXACT blocks the
     * operator joins, not a reimplementation. */
   private[graft] def semanticClusters(e: DataFrame,
-      viaVecSum: Boolean = VecSumUpdates): DataFrame = {
+      viaVecSum: Boolean = VecSumUpdates,
+      viaNc: Boolean = NcAssign,
+      viaQuantExpr: Boolean = CodegenQuantize): DataFrame = {
     val k = semKFor(e.count())
     val k1 = semK1For(k)
     val k2 = (k + k1 - 1) / k1
-    val q = quantizedFrame(e)
-    val coarse = coarseAssigned(q, k1, viaVecSum)
+    val q = quantizedFrame(e, viaQuantExpr)
+    val coarse = coarseAssigned(q, k1, viaVecSum, viaNc)
     val fine = lloydFine(coarse, k2, KmIters, viaVecSum)
     fine.select(col("vec_id"),
       (col("ccid") * k2 + col("fid")).cast("int").as("cid"))
@@ -357,11 +412,12 @@ object VectorQueries {
     * executor storage; if that ever bites, the fix is a WithFrees-style
     * entry whose caller frees after materializing the result. */
   private def coarseAssigned(q: DataFrame, k1: Int,
-      viaVecSum: Boolean = VecSumUpdates): DataFrame =
+      viaVecSum: Boolean = VecSumUpdates,
+      viaNc: Boolean = NcAssign): DataFrame =
     if (k1 == 1) q.withColumn("ccid", lit(0)).localCheckpoint()
     else {
       q.persist()
-      val c = assignedTo(q, lloydCentroids(q, k1, KmIters, viaVecSum))
+      val c = assignedTo(q, lloydCentroids(q, k1, KmIters, viaVecSum, viaNc), viaNc)
         .select(col("vec_id"), col("qv"), col("cid").as("ccid"))
         .localCheckpoint()
       q.unpersist(blocking = false)
@@ -487,15 +543,17 @@ object VectorQueries {
     val k = semKFor(e.count())
     val k1 = semK1For(k)
     val k2 = (k + k1 - 1) / k1
-    val q = quantizedFrame(e)
-    if (stage == "quant") return q
-    // "*agg" stages (round 12): same prefix, centroid updates via the
-    // VecSum whole-vector aggregate instead of posexplode — the
-    // update-strategy A/B runs as interleaved stage pairs. update1agg
-    // keeps the STANDARD coarse prefix so its delta vs update1 isolates
-    // the update step alone (coarse output is bit-identical either way,
+    val q = quantizedFrame(e, viaExpr = stage == "quantexpr")
+    if (stage == "quant" || stage == "quantexpr") return q
+    // "*agg"/"*nc" stages (round 12): same prefix, one strategy swapped —
+    // coarseagg = VecSum updates, coarsenc = NearestCentroidExpr assign —
+    // so each interleaved pair isolates one term. update1agg keeps the
+    // STANDARD coarse prefix so its delta vs update1 isolates the update
+    // step alone (coarse output is bit-identical under every strategy,
     // but its cost is not).
-    val coarse = coarseAssigned(q, k1, viaVecSum = stage == "coarseagg")
+    val coarse = coarseAssigned(q, k1,
+      viaVecSum = stage == "coarseagg", viaNc = stage == "coarsenc")
+    if (stage == "coarsenc") return coarse
     if (stage == "coarse" || stage == "coarseagg") return coarse
     val seeds = fineSeeds(coarse, k2)
     stage match {

@@ -73,6 +73,10 @@ object TimeQuery {
       // the delta arithmetic that isolates each term.
       "q115_fit_quant" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
         graft.core.Tables.embeddings(s, d), "quant")),
+      // round-12 quantization-strategy arm: fused codegen QuantizeExpr
+      // vs the interpreted aggregate+transform Column form
+      "q115_fit_quant_expr" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
+        graft.core.Tables.embeddings(s, d), "quantexpr")),
       "q115_fit_coarse" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
         graft.core.Tables.embeddings(s, d), "coarse")),
       "q115_fit_seeds" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
@@ -86,6 +90,15 @@ object TimeQuery {
       // form — interleave with the plain stages for same-weather deltas
       "q115_fit_coarse_agg" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
         graft.core.Tables.embeddings(s, d), "coarseagg")),
+      // round-12 assign-strategy arm: the coarse prefix with the
+      // constant-code-size NearestCentroidExpr assign instead of the
+      // k1-literal array_min form (the measured g300 cliff)
+      "q115_fit_coarse_nc" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
+        graft.core.Tables.embeddings(s, d), "coarsenc")),
+      // all three round-12 strategies at once: the candidate new default
+      "q115_clusters_fast" -> ((s, d) => graft.queries.VectorQueries.semanticClusters(
+        graft.core.Tables.embeddings(s, d),
+        viaVecSum = true, viaNc = true, viaQuantExpr = true)),
       "q115_fit_update1_agg" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
         graft.core.Tables.embeddings(s, d), "update1agg")),
       "q115_clusters_agg" -> ((s, d) => graft.queries.VectorQueries.semanticClusters(

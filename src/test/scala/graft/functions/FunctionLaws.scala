@@ -61,4 +61,26 @@ object FunctionLaws extends Properties("graft.functions") {
   property("transliterate maps accented Latin names to ASCII") = forAll(latinName) { s =>
     Translit.ascii(UTF8String.fromString(s)).toString.forall(_ < 128)
   }
+
+  /** Spark's Round(d, 0) on DoubleType: HALF_UP on the shortest-decimal
+    * representation (scala BigDecimal(d)) — the reference QuantizeUtil's
+    * fast path must match everywhere, including exact binary .5 ties and
+    * the 0.49999999999999994-style near-tie doubles. */
+  private def roundRef(d: Double): Long =
+    BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private val quantRange: Gen[Double] = Gen.oneOf(
+    Gen.chooseNum(-130.0, 130.0),
+    // exact .5 boundaries (representable in binary): the away-from-zero
+    // tie rule must hold for both signs
+    Gen.chooseNum(-130, 130).map(_ + 0.5),
+    Gen.chooseNum(-130, 130).map(_ - 0.5),
+    // 1-ulp-off-the-boundary adversaries
+    Gen.chooseNum(-130, 130).map(i => Math.nextDown(i + 0.5)),
+    Gen.chooseNum(-130, 130).map(i => Math.nextUp(i + 0.5)))
+
+  property("quantize rounding equals the BigDecimal HALF_UP builtin") =
+    forAll(quantRange) { d =>
+      QuantizeUtil.roundHalfUp(d) == roundRef(d)
+    }
 }

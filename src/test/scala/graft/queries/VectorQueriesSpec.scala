@@ -158,11 +158,18 @@ class VectorQueriesSpec extends SparkSpec {
     // are negative: the fixture embeddings carry negative components, and
     // the singleton check below forces an explicit negative-sum division
     val e = graft.core.Tables.embeddings(spark, d)
-    val base = VectorQueries.semanticClusters(e, viaVecSum = false)
+    val base = VectorQueries.semanticClusters(e,
+        viaVecSum = false, viaNc = false, viaQuantExpr = false)
       .as[(Long, Int)].collect().sorted.toSeq
     val agg = VectorQueries.semanticClusters(e, viaVecSum = true)
       .as[(Long, Int)].collect().sorted.toSeq
     assert(base == agg, "update strategies diverged")
+    // all three round-12 strategies at once (the q115_clusters_fast arm):
+    // VecSum updates + NearestCentroidExpr assign + codegen quantize
+    val fast = VectorQueries.semanticClusters(e,
+        viaVecSum = true, viaNc = true, viaQuantExpr = true)
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(base == fast, "fast-path strategies diverged")
     // floorDiv-vs-truncation corner: a group with a negative odd sum
     // (sum = -3, n = 2) must floor to -2, not truncate to -1
     val neg = Seq((0L, Seq(-1, 3)), (1L, Seq(-2, 3))).toDF("id", "qv")
@@ -172,6 +179,17 @@ class VectorQueriesSpec extends SparkSpec {
     assert(neg._1 == Seq(-3L, 6L) && neg._2 == 2L)
     assert(Math.floorDiv(neg._1.head, neg._2) == -2L,
       "floor semantics on negative sums")
+  }
+
+  test("codegen QuantizeExpr equals the aggregate+transform Column form") {
+    val e = graft.core.Tables.embeddings(spark, d)
+    val cols = VectorQueries.quantizedFrame(e, viaExpr = false)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val expr = VectorQueries.quantizedFrame(e, viaExpr = true)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(cols == expr, "quantization strategies diverged")
+    assert(cols.nonEmpty && cols.exists(_._2.exists(_ < 0)),
+      "fixture must exercise negative components")
   }
 
   test("q99 is invariant to shuffle partitioning (the determinism claim)") {
