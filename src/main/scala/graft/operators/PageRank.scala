@@ -66,7 +66,10 @@ object PageRank {
     * of failing. Deep runs stay storage-bounded: once iteration i is
     * materialized, iteration i-1's cache is released (trailing
     * unpersist), so at most two rank frames are pinned at a time plus
-    * edges/degrees/nodes. The final frame is materialized once; every
+    * edges/degrees/nodes (deep runs add one small (node, rank)
+    * checkpoint per [[RebaseEvery]] window, kept because cache
+    * recompute-on-eviction may re-read it; the ContextCleaner releases
+    * them — see the rebase comment in the loop). The final frame is materialized once; every
     * intermediate persist is released before returning, so repeated
     * calls do not accumulate cache. Only the returned frame stays cached
     * (callers unpersist when done). */
@@ -114,6 +117,25 @@ object PageRank {
           // InMemoryRelation leaf instead of the unrolled tree
           prevTrunc.foreach(_.unpersist(false)) // trailing release
           prevTrunc = Some(ranks)
+          if (i % RebaseEvery == 0) {
+            // PLAN-DEPTH rebase (round 12, the deep-run leg): the cache
+            // substitution truncates EXECUTION, but the `ranks` var's
+            // LOGICAL plan still nests one level per iteration, and
+            // per-iteration analysis + AQE plan-string generation grow
+            // ~quadratically with that depth — at 20 iterations the
+            // persist-only form spent minutes inside generateTreeString
+            // and died on driver memory (24g), while flat-plan ckpt ran
+            // 25-31 s (TimeQuery q68_iters20 vs q68_iters20_ckpt). A
+            // localCheckpoint here reads the just-persisted cache (no
+            // recompute) and resets the plan to a LogicalRDD leaf;
+            // rebasing only every [[RebaseEvery]] keeps the declared
+            // 5-iteration path byte-identical to the measured r10 A/B
+            // winner (persist, no rebase triggered) while bounding any
+            // deep run's plan depth.
+            ranks = ranks.localCheckpoint(true)
+            prevTrunc.foreach(_.unpersist(false))
+            prevTrunc = None
+          }
         }
       }
     }
@@ -126,6 +148,12 @@ object PageRank {
   /** Materialize-and-truncate cadence: every iteration (measured best —
     * scaladoc A/B on [[ranks]]). */
   val TruncateEvery = 1
+
+  /** Iterations between plan-depth rebases on the persist truncation
+    * path (see the loop comment): deep enough that the declared
+    * 5-iteration bench shape never rebases, shallow enough that a deep
+    * run's analysis cost stays linear. */
+  val RebaseEvery = 5
 
   /** DuckDB twin of [[ranks]]: unrolled CTE chain with identical integer
     * arithmetic (`//` integral division; sums cast back to BIGINT since

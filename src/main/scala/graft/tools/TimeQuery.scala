@@ -196,6 +196,30 @@ object TimeQuery {
         val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
         graft.operators.PageRank.ranks(s, edges, 1).orderBy("node")
       }),
+      // deep-run leg (round 12, r10 verdict #7): 20 iterations — with
+      // q68_iters1/q68_iters3 in the same session, (iters20 − iters3)/17
+      // is the deep marginal per-iteration cost; flat marginals confirm
+      // the per-iteration plan truncation and the ≤2-pinned-frames bound
+      // hold at depth
+      "q68_iters20" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 20).orderBy("node")
+      }),
+      "q68_iters20_ckpt" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 20,
+          truncViaCheckpoint = true).orderBy("node")
+      }),
       "q68_iters3" -> ((s, d) => {
         import org.apache.spark.sql.functions.col
         val sp = graft.core.Tables.lineitem(s, d)

@@ -27,6 +27,24 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("deep runs cross the plan-depth rebase and stay reference-exact") {
+    // 12 iterations crosses two RebaseEvery=5 boundaries on the persist
+    // path (the round-12 deep-run fix) and must equal both the in-memory
+    // reference and the flat-plan checkpoint path — the rebase is a plan
+    // transformation, never a value change
+    val rnd = new scala.util.Random(31)
+    val n = 12
+    val edges = (0 until 40).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val df = edges.toDF("src", "dst")
+    val got = PageRank.ranks(spark, df, 12).as[(Long, Long)].collect().toMap
+    assert(got == PageRankReference.ranks(edges, 12), "vs reference")
+    val ck = PageRank.ranks(spark, df, 12, truncViaCheckpoint = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ck, "persist+rebase path vs checkpoint path")
+  }
+
   test("a source-only node keeps its damping base; a chain never goes extinct") {
     // directed chain 1 -> 2 -> 3: node 1 has no in-links and must retain
     // the base share every iteration; the rank set stays all three nodes
