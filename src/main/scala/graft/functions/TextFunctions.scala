@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 /** Column-level text primitives for the training-data pipeline operators
   * (language-ID, quality scoring, token counting, shingling, fingerprints).
   *
-  * Everything here is pure `org.apache.spark.sql.functions` composition —
-  * whole-stage-codegen'd, no UDFs — so these run at full Tungsten speed at
-  * 100 TB. Shingling uses higher-order functions (transform/slice) which
-  * evaluate per-row without exploding until the caller asks for it.
+  * Everything here is `org.apache.spark.sql.functions` composition or a
+  * codegen Catalyst expression — no UDFs — so these run at full Tungsten
+  * speed at 100 TB. CAVEAT (measured round 12/13): Spark's higher-order
+  * functions (transform/aggregate/slice lambdas) are CodegenFallback —
+  * they evaluate INTERPRETED — so the hot-path primitives here are
+  * codegen expressions ([[ShinglesExpr]] for shingling: 9-25x over the
+  * HOF form, BENCH_SCALE_r13_shexpr) while HOFs remain only on cold
+  * paths whose cost was probed or is bench-invisible (the rolling
+  * fingerprint fold below, q37-only).
   */
 object TextFunctions {
 
@@ -22,8 +27,29 @@ object TextFunctions {
   def regexTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
-  /** Token n-gram shingles ("w1 w2 w3"). Empty array for short docs. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Token n-gram shingles ("w1 w2 w3"). Empty array for short docs
+    * (and for null text — the `when` predicate is null there, so the
+    * HOF form falls to its otherwise branch; [[ShinglesExpr]] mirrors
+    * it). Dispatches on [[UseShinglesExpr]]. */
+  def shingles(text: Column, n: Int): Column =
+    if (UseShinglesExpr) ShinglesFn.shinglesVec(text, n)
+    else shinglesViaHof(text, n)
+
+  /** Default shingle strategy: the codegen [[ShinglesExpr]] (round 13).
+    * The HOF form below is CodegenFallback — `transform`/`slice`
+    * evaluate interpreted, a closure dispatch + slice allocation per
+    * window, at the head of the whole text-dedup family
+    * (q34/q35/q44/q97/q100/q116/q119/q120 all shingle first; VERDICT
+    * r12 #1). Flipped by measurement — see Shingles.scala's scaladoc
+    * and the round-13 probe artifact (BENCH_SCALE_r13_shexpr). Kept as
+    * a @volatile var only for the TimeQuery A/B arms; library callers
+    * should not touch it. */
+  @volatile private[graft] var UseShinglesExpr: Boolean = true
+
+  /** The interpreted higher-order-function shingle form — the pre-r13
+    * default, kept as the measurement baseline arm. String-identical to
+    * [[ShinglesExpr]] (TextFunctionsSpec pins it). */
+  private[graft] def shinglesViaHof(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))

@@ -15,6 +15,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2) == Seq.empty)
   }
 
+  test("ShinglesExpr is string-identical to the HOF form on adversarial strings") {
+    // the bit-identity contract (Shingles.scala scaladoc): split(" ")
+    // keeps trailing empties (limit -1), so numTokens = numSpaces + 1
+    // even for empty text; shingles are byte-substrings between space
+    // boundaries. Adversarial shapes: empty text, null, single token,
+    // leading/trailing/double spaces (empty tokens), multi-byte UTF-8,
+    // tabs/newlines (NOT split), exact-n and n-1 token counts.
+    val texts: Seq[String] = Seq(
+      "w1 w2 w3 w4", "a b", "solo", "", " ", "  ", "a  b", " a b ",
+      "héllo wörld düo", "日本 語 テスト x", "tab\tstays one\ttoken",
+      "line\nbreak also one", "a b c", "ab cd ef gh ij", null)
+    val df = texts.toDF("text")
+    for (n <- 1 to 4) {
+      val got = df.select(
+        T.shinglesViaHof(col("text"), n).as("hof"),
+        graft.functions.ShinglesFn.shinglesVec(col("text"), n).as("expr"))
+        .as[(Seq[String], Seq[String])].collect()
+      texts.zip(got).foreach { case (t, (hof, expr)) =>
+        assert(hof == expr, s"n=$n text=${Option(t).map("'" + _ + "'")}")
+      }
+    }
+    // and the dispatching default agrees with the HOF form too
+    val viaDefault = df.select(T.shingles(col("text"), 3)).as[Seq[String]].collect()
+    val viaHof = df.select(T.shinglesViaHof(col("text"), 3)).as[Seq[String]].collect()
+    assert(viaDefault.toSeq == viaHof.toSeq)
+  }
+
   test("langId picks argmax profile with alphabetical tie-break, und below 2 hits") {
     val df = Seq(
       "the cat sat on the mat and it is warm", // en
