@@ -144,12 +144,17 @@ object TextQueries {
   }
 
   /** SimHash via Manku's block-COMBINATION tables (6 blocks of 10 bits,
-    * C(6,3) = 20 tables keyed on 30 bits) — **the declared AT-SCALE
-    * simhash** (VERDICT r6 #1: q114/q36 are chunk-scheme dials whose
-    * chance-collision volume is quadratic; this is the form to run past
-    * ~10⁶ docs — candidate volume ~1.00 on every measured decade
-    * g1→g30 AND the fixed-vocab adversarial corpus). It
-    * suppresses the last quadratic term in the simhash family: q114's
+    * C(6,3) = 20 tables keyed on 30 bits) — the simhash workhorse
+    * through the ~10⁷-doc decades, with a MEASURED envelope past them
+    * (CANDVOL_r12): its fixed 2^30 combo-key space's n² chance term
+    * arrived on schedule at the seventh decade — volume exponent 1.076
+    * at g300 (15M docs), **1.204 at g1000 (50M docs)** — so past ~10⁷
+    * docs the deeper forms are [[q123SimhashCombos7]] (7 blocks,
+    * C(7,4) = 35 tables on 32-36-bit keys: the same scheme one rung up
+    * the Manku ladder, ~16× more chance headroom for 1.75× fan-out) and
+    * ultimately q35's minhash bands (volume 1.005 at g1000), whose key
+    * space grows WITH the corpus. It
+    * suppresses the last quadratic term visible at mid scale: q114's
     * 15-bit chunk tables each admit ~n²/2^15 chance collisions (CandVol
     * reads exponent ~2.0 on that term), while a 30-bit combination key
     * drops the constant 32768× at a 5× key fan-out (Manku et al. WWW'07
@@ -163,6 +168,31 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     Dedup.verifiedJaccard(docs,
       Dedup.simhashPairsCombinatorial(docs, maxDist = 3, nBlocks = 6),
+      threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The block-combination scheme one rung up Manku's ladder — 7 blocks
+    * (widths 9/9/9/9/8/8/8 over the 60-bit portable signature),
+    * C(7,4) = 35 tables keyed on 32-36 bits — **the answer to q116's
+    * measured envelope** (VERDICT r12 #3: q116's fixed 2^30 key space
+    * read volume exponent 1.204 at g1000). The per-table chance term
+    * n²/2^keyWidth shrinks ~16× (2^30 → 2^~34.3 effective) for a 1.75×
+    * table fan-out (35 vs 20 rows/doc/side-A; side B replication 70
+    * rows/doc at salt 2 vs q116's 40) — the same space-for-asymptote
+    * trade q116 made over q114, taken once more. Same exact output as
+    * q36/q114/q116/q122 (any (nBlocks > maxDist)-way balanced split
+    * satisfies the pigeonhole — a Hamming≤3 pair dirties ≤3 of 7
+    * blocks, so some 4-subset is clean on both sides; DedupSpec's
+    * scheme-equivalence test covers this form), and the oracle mirrors
+    * THIS machinery: the 35 keyed SELECTs are generated from the same
+    * [[Dedup.simhashCombos]]/[[Dedup.simhashBlockBounds]] enumeration
+    * the operator packs. Volume at depth: see CANDVOL_r13
+    * (q123_simhash_combo7 vs q116_simhash_combo at g300/g1000). */
+  def q123SimhashCombos7(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.verifiedJaccard(docs,
+      Dedup.simhashPairsCombinatorial(docs, maxDist = 3, nBlocks = 7),
       threshold = 0.5)
       .orderBy("id_a", "id_b")
   }
@@ -541,6 +571,7 @@ object TextQueries {
     "q114_simhash_manku" -> (q114SimhashManku _),
     "q116_simhash_combos" -> (q116SimhashCombos _),
     "q122_simhash_permuted" -> (q122SimhashPermuted _),
+    "q123_simhash_combo7" -> (q123SimhashCombos7 _),
     "q119_fuzzy_decontam" -> (q119FuzzyDecontam _),
     "q120_incremental_dedup" -> (q120IncrementalDedup _),
     "q121_quality_filter" -> (q121QualityFilter _),
@@ -683,6 +714,7 @@ object TextQueries {
     "q114_simhash_manku" -> simhashMankuSql,
     "q116_simhash_combos" -> simhashCombosSql,
     "q122_simhash_permuted" -> simhashPermutedSql,
+    "q123_simhash_combo7" -> simhashCombos7Sql,
     // exact CROSS-pair Jaccard (train side % mod != 0, probe side = 0):
     // equality is simultaneously the band join's recall proof, as q35
     "q119_fuzzy_decontam" ->
@@ -886,9 +918,8 @@ object TextQueries {
     * and oracle cannot drift), the chosen 10-bit blocks into one 30-bit
     * key, unions the 20 keyed tables, joins on (table, key), and applies
     * the Hamming≤3 filter before exact-Jaccard verification. */
-  private lazy val simhashCombosSql: String = {
+  private def combosSqlFor(nBlocks: Int): String = {
     val D = graft.operators.Dedup
-    val nBlocks = 6
     val bounds = D.simhashBlockBounds(D.PortableSimHashBits, nBlocks)
     val keyed = D.simhashCombos(nBlocks, nBlocks - 3).zipWithIndex.map {
       case (bs, ci) =>
@@ -908,6 +939,13 @@ object TextQueries {
        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
        |$verifyJaccardTail""".stripMargin
   }
+
+  private lazy val simhashCombosSql: String = combosSqlFor(6)
+
+  /** q123's oracle: [[simhashCombosSql]] one rung up the ladder — the 35
+    * keyed SELECTs generated from the SAME simhashCombos/BlockBounds
+    * enumeration the 7-block operator packs. */
+  private lazy val simhashCombos7Sql: String = combosSqlFor(7)
 
   /** q122's oracle: the same signature mirror as q114/q116's, with
     * candidates from the recursive permuted tables — the SQL's 16 keyed

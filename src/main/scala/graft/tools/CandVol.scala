@@ -97,11 +97,36 @@ object CandVol {
 
   /** All volumes for one corpus directory, keyed by metric name.
     * `familyOnly` (round 11, `--family`): compute only the DECLARED
-    * at-scale family — q34-capped, q35, q116, q119, q120, q115 — and
+    * at-scale family — q34-capped, q35, q116, q123, q119, q120, q115 — and
     * skip the documented dials (q36/q114/q122 chunk/permuted simhash,
     * q113 adaptive, q97 prefix), whose key fan-outs are the expensive
     * terms at the g1000 decade and whose envelopes are already
     * measured through g300. */
+  /** `--simonly` (round 13): ONLY the q116 vs q123 combination-scheme
+    * volumes (plus n_docs) — the focused pair the q123 envelope claim
+    * needs at g300/g1000, without re-running the whole family sweep
+    * (the r12 --family g1000 session cost ~3 h; the two combo
+    * selfJoinVolumes + one portable-signature pass are its small
+    * minority). */
+  def simVolumes(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val simsPortable = Dedup.simhashDocsPortable(docs)
+    simsPortable.persist()
+    val sim116 = selfJoinVolume(
+      Dedup.simhashComboKeys(simsPortable, maxDist = 3,
+        bits = Dedup.PortableSimHashBits, nBlocks = 6),
+      Seq("combo_idx", "combo_key"))
+    val sim123 = selfJoinVolume(
+      Dedup.simhashComboKeys(simsPortable, maxDist = 3,
+        bits = Dedup.PortableSimHashBits, nBlocks = 7),
+      Seq("combo_idx", "combo_key"))
+    simsPortable.unpersist()
+    Seq(("n_docs", nDocs.toDouble),
+      ("q116_simhash_combo", sim116.toDouble),
+      ("q123_simhash_combo7", sim123.toDouble))
+  }
+
   def volumes(s: SparkSession, dir: String,
       familyOnly: Boolean = false): Seq[(String, Double)] = {
     val docs = Tables.documents(s, dir)
@@ -146,6 +171,14 @@ object CandVol {
     val sim116 = selfJoinVolume(
       Dedup.simhashComboKeys(simsPortable, maxDist = 3,
         bits = Dedup.PortableSimHashBits, nBlocks = 6),
+      Seq("combo_idx", "combo_key"))
+    // q123: the 7-block rung (C(7,4)=35 tables on 32-36-bit keys) — the
+    // answer to q116's measured 2^30 envelope (volume 1.204 at g1000);
+    // in the at-scale family because its deep-decade volume IS the
+    // claim it exists to carry
+    val sim123 = selfJoinVolume(
+      Dedup.simhashComboKeys(simsPortable, maxDist = 3,
+        bits = Dedup.PortableSimHashBits, nBlocks = 7),
       Seq("combo_idx", "combo_key"))
     // q122: recursive permuted tables — 16 tables on 26-27-bit keys;
     // volume should track q116's ~1.0 at 20% less fan-out
@@ -206,7 +239,8 @@ object CandVol {
       ("q35_minhash_bands", minhash.toDouble)) ++
       sim36.map(v => ("q36_simhash_d12", v.toDouble)) ++
       sim114.map(v => ("q114_simhash_manku", v.toDouble)) ++
-      Seq(("q116_simhash_combo", sim116.toDouble)) ++
+      Seq(("q116_simhash_combo", sim116.toDouble),
+        ("q123_simhash_combo7", sim123.toDouble)) ++
       sim122.map(v => ("q122_simhash_permuted", v.toDouble)) ++
       prefix.map(v => ("q97_prefix", v.toDouble)) ++
       Seq(
@@ -233,11 +267,14 @@ object CandVol {
   def main(args: Array[String]): Unit = {
     val out = args.collectFirst { case a if a.startsWith("--out=") => a.drop(6) }
     val familyOnly = args.contains("--family")
+    val simOnly = args.contains("--simonly")
     val dirs = args.filterNot(_.startsWith("--")).toSeq
-    require(dirs.nonEmpty, "usage: CandVol [--out=path.json] [--family] <dir> [dir...]")
+    require(dirs.nonEmpty,
+      "usage: CandVol [--out=path.json] [--family|--simonly] <dir> [dir...]")
     val s = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "candvol")
-    val perDir = dirs.map(d => d -> volumes(s, d, familyOnly))
+    val perDir = dirs.map(d => d ->
+      (if (simOnly) simVolumes(s, d) else volumes(s, d, familyOnly)))
     perDir.foreach { case (d, vs) =>
       println(s"$d " + vs.map { case (k, v) => s"$k=${fmt(v)}" }.mkString(" "))
     }
@@ -246,7 +283,8 @@ object CandVol {
     // q113/q115)
     val volKeys = Seq("q34_cand_capped", "q34_cand_uncapped",
       "q35_minhash_bands", "q36_simhash_d12", "q114_simhash_manku",
-      "q116_simhash_combo", "q122_simhash_permuted", "q97_prefix",
+      "q116_simhash_combo", "q123_simhash_combo7",
+      "q122_simhash_permuted", "q97_prefix",
       "q119_cross_bands",
       "q120_hist_probe", "q120_within_batch",
       "q113_adaptive_probe", "q113_probe_cap8", "q115_semantic_blocks")

@@ -132,7 +132,9 @@ class DedupSpec extends SparkSpec {
     // verified outputs must be identical sets — the combination tables
     // only change WHERE pairs meet (30-bit keys in 20 tables vs 15-bit
     // keys in 4), not WHICH pairs survive
-    for ((maxDist, nBlocks) <- Seq((3, 6), (2, 5), (3, 4))) {
+    // (3, 7) is the DECLARED q123 configuration (C(7,4) = 35 tables on
+    // 32-36-bit keys — the rung above q116's measured 2^30 envelope)
+    for ((maxDist, nBlocks) <- Seq((3, 6), (3, 7), (2, 5), (3, 4))) {
       val chunk = Dedup.simhashPairsPortable(docs, maxDist = maxDist)
         .select("id_a", "id_b", "hamming")
         .as[(Long, Long, Int)].collect().toSet
