@@ -43,7 +43,15 @@ object VecSum {
   private object Agg extends Aggregator[Array[Int], Array[Long], Seq[Long]] {
     def zero: Array[Long] = Array.emptyLongArray
     def reduce(b: Array[Long], v: Array[Int]): Array[Long] = {
-      if (v == null) return b
+      // ADVICE r12: null/empty inputs would silently diverge from the
+      // posexplode form (callers' count(lit(1)) still counts such rows
+      // in the divisor, and a zero-length vector is indistinguishable
+      // from the zero buffer, bypassing the ragged check) — the
+      // embeddings envelope guarantees non-null fixed-dim vectors, so a
+      // violation fails loudly instead of skewing centroids
+      require(v != null && v.length > 0,
+        "vecSum: null or empty input vector (callers divide by the group " +
+          "row count, so skipping it would silently skew the centroid)")
       val acc = if (b.length == 0) new Array[Long](v.length) else b
       require(acc.length == v.length,
         s"vecSum: ragged input (${v.length} vs ${acc.length})")

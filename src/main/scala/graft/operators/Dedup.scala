@@ -121,9 +121,10 @@ object Dedup {
     * but almost never decides a J >= 0.5 verdict; cap it. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
       idCol: String = "doc_id", textCol: String = "text",
-      maxDocFreq: Long = 0L): DataFrame =
+      maxDocFreq: Long = 0L,
+      shingleForm: String = DefaultShingleForm): DataFrame =
     ngramJaccardForm(docs, n, threshold, idCol, textCol, maxDocFreq,
-      DefaultShingleForm)._1
+      shingleForm)._1
 
   /** Default [[shingleFrame]] form for the public n-gram entries.
     *
@@ -141,7 +142,12 @@ object Dedup {
     * remains the safe explicit choice (the g1000 envelope:
     * 2.65B exploded rows vs 62 GB free disk; on a real cluster the
     * store is spread over executor storage and compresses under
-    * spark.rdd.compress). */
+    * spark.rdd.compress). Deep-decade callers select the safe arm
+    * explicitly: the public entries ([[ngramJaccard]] /
+    * [[ngramContainment]]) surface a `shingleForm` parameter
+    * (ADVICE r12 — no silent row-count gate, which would cost an eager
+    * count() job inside every caller's timed window, the q97 guard
+    * lesson). */
   private[graft] val DefaultShingleForm = "pin"
 
   /** [[ngramJaccard]] with an explicit [[shingleFrame]] form, returning
@@ -188,11 +194,23 @@ object Dedup {
     * still runs on the full corpus when pair enumeration can't.
     *
     * Output: (idCol, n_windows, n_dup_windows, dup_ratio), one row per
-    * input doc; docs shorter than `windowTokens` tokens report 0/0/0.0. */
+    * input doc; docs shorter than `windowTokens` tokens report 0/0/0.0.
+    *
+    * `pinWindows` (round 13, NOTES r12 #5): the window frame is read
+    * twice (df aggregate + join side) — `true` shares one eager
+    * localCheckpoint instead of re-deriving the scan+explode subtree.
+    * Measured A/B (BENCH_SCALE_r13_census, sf0.1 interleaved, 3 runs):
+    * floors rescan 1.30 s vs pin 1.31 s — a tie now that ShinglesExpr
+    * made re-shingling near-free, so the default stays the rescan (no
+    * corpus-sized block store, the disk-safe shape at depth); the dial
+    * exists for corpora whose window frame is expensive to rebuild
+    * (very long docs / wide windows). */
   def spanDupStats(docs: DataFrame, windowTokens: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = docs.select(col(idCol).as("id"),
+      idCol: String = "doc_id", textCol: String = "text",
+      pinWindows: Boolean = false): DataFrame = {
+    val w0 = docs.select(col(idCol).as("id"),
       explode(array_distinct(T.shingles(col(textCol), windowTokens))).as("w"))
+    val w = if (pinWindows) w0.localCheckpoint() else w0
     // nd = number of distinct docs containing the window ((id, w) is
     // already distinct, so a plain count is a distinct-doc count)
     val docFreq = w.groupBy("w").agg(count(lit(1)).as("nd"))
@@ -221,9 +239,10 @@ object Dedup {
     * Output: id_a < id_b, n_common, containment. */
   def ngramContainment(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
-      maxDocFreq: Long = 0L): DataFrame = {
+      maxDocFreq: Long = 0L,
+      shingleForm: String = DefaultShingleForm): DataFrame = {
     val (sh, _) = shingleFrame(docs, idCol, textCol, n, maxDocFreq,
-      DefaultShingleForm)
+      shingleForm)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("shingle"), col("id").as("id_a"))
       .join(sh.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))

@@ -373,6 +373,31 @@ object VectorQueries {
       (col("ccid") * k2 + col("fid")).cast("int").as("cid"))
   }
 
+  /** [[semanticClusters]] plus the checkpoint-release thunk (VERDICT
+    * r12 #8 — the WithFrees pattern [[graft.operators.Dedup
+    * .verifiedJaccardWithFrees]] established): the returned thunk frees
+    * the coarse assignment's localCheckpoint blocks via
+    * [[graft.core.Sessions.freeCheckpoint]] (Dataset.unpersist is a
+    * silent no-op on checkpointed frames — the round-9 find). Call it
+    * ONLY after fully materializing everything derived from the
+    * assignment: the checkpoint truncates lineage, so a freed frame
+    * breaks rather than recomputes. Long-lived library sessions calling
+    * q115 repeatedly should use this entry; the declared query keeps
+    * the ContextCleaner default. */
+  private[graft] def semanticClustersWithFree(e: DataFrame,
+      viaVecSum: Boolean = VecSumUpdates,
+      viaNc: Boolean = NcAssign,
+      viaQuantExpr: Boolean = CodegenQuantize): (DataFrame, () => Unit) = {
+    val k = semKFor(e.count())
+    val k1 = semK1For(k)
+    val k2 = (k + k1 - 1) / k1
+    val q = quantizedFrame(e, viaQuantExpr)
+    val (coarse, free) = coarseAssignedWithFree(q, k1, viaVecSum, viaNc)
+    val fine = lloydFine(coarse, k2, KmIters, viaVecSum)
+    (fine.select(col("vec_id"),
+      (col("ccid") * k2 + col("fid")).cast("int").as("cid")), free)
+  }
+
   /** The checkpoint-backed coarse assignment both [[semanticClusters]]
     * and [[fitProbe]] build on — (vec_id, qv, ccid) with truncated
     * lineage, so every fine-level pass reads stored rows instead of
@@ -409,19 +434,27 @@ object VectorQueries {
     * runs. A long-lived session calling q115 repeatedly accumulates
     * one quantized-corpus checkpoint per call until a GC cycle —
     * bounded by n·dim ints each, and on a real cluster spread across
-    * executor storage; if that ever bites, the fix is a WithFrees-style
-    * entry whose caller frees after materializing the result. */
+    * executor storage; long-lived callers release deterministically via
+    * [[semanticClustersWithFree]] (round 13 — the WithFrees entry this
+    * paragraph used to name as the fix-if-it-bites). */
   private def coarseAssigned(q: DataFrame, k1: Int,
       viaVecSum: Boolean = VecSumUpdates,
       viaNc: Boolean = NcAssign): DataFrame =
-    if (k1 == 1) q.withColumn("ccid", lit(0)).localCheckpoint()
-    else {
+    coarseAssignedWithFree(q, k1, viaVecSum, viaNc)._1
+
+  private def coarseAssignedWithFree(q: DataFrame, k1: Int,
+      viaVecSum: Boolean = VecSumUpdates,
+      viaNc: Boolean = NcAssign): (DataFrame, () => Unit) =
+    if (k1 == 1) {
+      val c = q.withColumn("ccid", lit(0)).localCheckpoint()
+      (c, () => graft.core.Sessions.freeCheckpoint(c))
+    } else {
       q.persist()
       val c = assignedTo(q, lloydCentroids(q, k1, KmIters, viaVecSum, viaNc), viaNc)
         .select(col("vec_id"), col("qv"), col("cid").as("ccid"))
         .localCheckpoint()
       q.unpersist(blocking = false)
-      c
+      (c, () => graft.core.Sessions.freeCheckpoint(c))
     }
 
   /** Nearest FINE centroid within each row's own coarse cell, via ONE
@@ -524,7 +557,17 @@ object VectorQueries {
     *   update1 − assign1= ONE centroid-update agg (posexplode n·dim →
     *                      partial-agg → k-row collect)
     *   q115_clusters    = coarse + seeds + 3×(assign+update) + final
-    *                      assign (the whole fit, for cross-check)
+    *                      assign — NOTE (ADVICE r12): the plain stages
+    *                      above decompose the PLAIN-strategy fit (the
+    *                      A/B baseline: interpreted quantize, Column
+    *                      assign, posexplode updates); since the
+    *                      round-12 default flips, the SHIPPED
+    *                      q115_clusters runs all three fused strategies,
+    *                      so the plain-stage sum no longer equals the
+    *                      production query — cross-check it against
+    *                      TimeQuery's q115_clusters_fast (≡ default) or
+    *                      decompose the shipped path with quantexpr /
+    *                      coarsenc / update1agg prefixes
     *   coarseagg / update1agg (round 12) = the same coarse / update1
     *                      prefixes with centroid updates via the
     *                      [[graft.functions.VecSum]] whole-vector

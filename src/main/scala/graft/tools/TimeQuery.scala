@@ -101,8 +101,21 @@ object TimeQuery {
         viaVecSum = true, viaNc = true, viaQuantExpr = true)),
       "q115_fit_update1_agg" -> ((s, d) => graft.queries.VectorQueries.fitProbe(
         graft.core.Tables.embeddings(s, d), "update1agg")),
+      // isolate the UPDATE strategy alone (ADVICE r12: with the defaults
+      // flipped, passing only viaVecSum=true made this arm plan-identical
+      // to q115_clusters_fast AND the default q115_clusters — pin the
+      // other two strategies to their PLAIN forms so the arm still
+      // measures a delta vs q115_fit_update1/the plain fit)
       "q115_clusters_agg" -> ((s, d) => graft.queries.VectorQueries.semanticClusters(
-        graft.core.Tables.embeddings(s, d), viaVecSum = true)),
+        graft.core.Tables.embeddings(s, d),
+        viaVecSum = true, viaNc = false, viaQuantExpr = false)),
+      // q79 window-frame pin A/B (round 13, NOTES r12 #5): the span-stat
+      // window frame is read twice (df agg + join side) — rescan
+      // (declared default) vs one shared localCheckpoint
+      "q79_rescan" -> ((s, d) => graft.operators.Dedup.spanDupStats(
+        graft.core.Tables.documents(s, d)).orderBy("doc_id")),
+      "q79_pin" -> ((s, d) => graft.operators.Dedup.spanDupStats(
+        graft.core.Tables.documents(s, d), pinWindows = true).orderBy("doc_id")),
       // q116's salt dial (output-identical; salt only spreads the
       // candidate join's hot keys): the declared default is 2 (commit
       // 8004558, measured ~35% under salt-4 at g10) — probe the OLD
@@ -135,6 +148,40 @@ object TimeQuery {
             explode(graft.functions.TextFunctions.shingles(col("text"), 3))
               .as("shingle"))
           .withColumn("h", xxhash64(col("shingle")))
+      }),
+      // shingle-strategy 2-arm probe (round 13, VERDICT r12 #1): the
+      // SAME scan+explode+hash stage with the interpreted HOF form vs
+      // the codegen ShinglesExpr (q35_shingles above follows the
+      // TextFunctions default). Interleave the pair for same-weather
+      // deltas; this stage is where 100% of the shingle cost lives for
+      // every family member.
+      "q35_shingles_hof" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, explode, xxhash64}
+        graft.core.Tables.documents(s, d)
+          .select(col("doc_id").as("id"),
+            explode(graft.functions.TextFunctions.shinglesViaHof(col("text"), 3))
+              .as("shingle"))
+          .withColumn("h", xxhash64(col("shingle")))
+      }),
+      "q35_shingles_expr" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, explode, xxhash64}
+        graft.core.Tables.documents(s, d)
+          .select(col("doc_id").as("id"),
+            explode(graft.functions.ShinglesFn.shinglesVec(col("text"), 3))
+              .as("shingle"))
+          .withColumn("h", xxhash64(col("shingle")))
+      }),
+      // full-query arms under each shingle strategy (the flag is read at
+      // PLAN-BUILD time inside the timed window, single-threaded here;
+      // restored to the default by the next arm's own set)
+      "q35_full_hof" -> ((s, d) => {
+        graft.functions.TextFunctions.UseShinglesExpr = false
+        try graft.SparkEntry.queries("q35_minhash_lsh")(s, d)
+        finally graft.functions.TextFunctions.UseShinglesExpr = true
+      }),
+      "q35_full_expr" -> ((s, d) => {
+        graft.functions.TextFunctions.UseShinglesExpr = true
+        graft.SparkEntry.queries("q35_minhash_lsh")(s, d)
       }),
       "q35_sigs" -> ((s, d) => graft.operators.Dedup.minhashSignatures(
         graft.core.Tables.documents(s, d), k = 16, n = 3)),

@@ -181,6 +181,24 @@ class VectorQueriesSpec extends SparkSpec {
       "floor semantics on negative sums")
   }
 
+  test("semanticClustersWithFree: same assignment, and free() releases the checkpoint blocks") {
+    val e = graft.core.Tables.embeddings(spark, d)
+    val base = VectorQueries.semanticClusters(e)
+      .as[(Long, Int)].collect().sorted.toSeq
+    // start from a clean slate so the block count isolates this call
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val (df, free) = VectorQueries.semanticClustersWithFree(e)
+    val got = df.as[(Long, Int)].collect().sorted.toSeq
+    assert(got == base, "WithFree entry must return the identical assignment")
+    // the coarse assignment's localCheckpoint is resident after execution
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected a resident checkpoint RDD before free()")
+    free()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "free() must release the checkpoint blocks (Dataset.unpersist is a " +
+        "no-op on checkpointed frames — Sessions.freeCheckpoint is the real free)")
+  }
+
   test("codegen QuantizeExpr equals the aggregate+transform Column form") {
     val e = graft.core.Tables.embeddings(spark, d)
     val cols = VectorQueries.quantizedFrame(e, viaExpr = false)
