@@ -128,27 +128,33 @@ object Dedup {
 
   /** Default [[shingleFrame]] form for the public n-gram entries.
     *
-    * "pin" by MEASUREMENT (round 12, BENCH_SCALE_r12_shform: one
-    * --interleave session per scale, floors): q34 sf0.1
-    * pin 6.91 / distinct 6.04 / rescan 8.95; q44 sf0.1
-    * 9.06 / 8.92 / 11.96; q34 g10 72.4 / 79.2 / 92.8; q44 g10
-    * 104.1 / 116.6 / 115.4. The r11 rescan form costs ~+25–35% at
-    * mid-scale (the r11 headline regression's code share), the r10
-    * distinct form ties pin at sf0.1 but is already losing at g10 as
-    * its corpus-sized shuffle grows — and it is the form whose spill
-    * overflowed local disk at g1000. Pin keeps one scan + one block
-    * store; its store is the capped exploded corpus, so on a
-    * disk-bound LOCAL box at the deepest decades the "rescan" arm
-    * remains the safe explicit choice (the g1000 envelope:
-    * 2.65B exploded rows vs 62 GB free disk; on a real cluster the
-    * store is spread over executor storage and compresses under
-    * spark.rdd.compress). Deep-decade callers select the safe arm
-    * explicitly: the public entries ([[ngramJaccard]] /
-    * [[ngramContainment]]) surface a `shingleForm` parameter
-    * (ADVICE r12 — no silent row-count gate, which would cost an eager
+    * "rescan" by MEASUREMENT — re-opened and re-decided each time the
+    * cost of re-deriving the shingle frame changed:
+    *
+    *   - Round 12 (BENCH_SCALE_r12_shform, interpreted-HOF era):
+    *     rescan cost +25–35% over one shared localCheckpoint ("pin")
+    *     at sf0.1 AND g10, so the default was pin — the penalty was
+    *     per-consumer RE-SHINGLING under the interpreted
+    *     transform/slice/concat_ws HOF.
+    *   - Round 13 (BENCH_SCALE_r13_shform2, post-ShinglesExpr): the
+    *     codegen byte-scan shingle (9.3×/24.7× on the shingle stage,
+    *     BENCH_SCALE_r13_shexpr) made re-derivation near-free and the
+    *     penalty collapsed into the weather band — floors q34 sf0.1
+    *     pin 3.00 / rescan 2.98, g10 46.71 / 47.54; q44 sf0.1
+    *     4.55 / 4.61, g10 45.17 / 46.88 (≤4% everywhere). On a tie
+    *     the SCALE-SAFE form wins: rescan keeps no corpus-sized
+    *     checkpoint block store, so the g1000 envelope hazard pin
+    *     carried (2.65B exploded rows vs 62 GB free local disk —
+    *     ADVICE r12) is retired by default rather than documented.
+    *
+    * "pin" stays the explicit dial for corpora whose shingle frame is
+    * genuinely expensive to rebuild (very long docs, wide n); the
+    * public entries ([[ngramJaccard]] / [[ngramContainment]]) surface
+    * `shingleForm` (no silent row-count gate — that would be an eager
     * count() job inside every caller's timed window, the q97 guard
-    * lesson). */
-  private[graft] val DefaultShingleForm = "pin"
+    * lesson). "distinct" remains the r10 exchange-reuse arm, measured
+    * losing at g10 and the original g1000 disk overflow. */
+  private[graft] val DefaultShingleForm = "rescan"
 
   /** [[ngramJaccard]] with an explicit [[shingleFrame]] form, returning
     * the free thunk. PRECONDITION (all forms): `idCol` values are
