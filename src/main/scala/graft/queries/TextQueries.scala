@@ -151,7 +151,9 @@ object TextQueries {
     * at g300 (15M docs), **1.204 at g1000 (50M docs)** — so past ~10⁷
     * docs the deeper forms are [[q123SimhashCombos7]] (7 blocks,
     * C(7,4) = 35 tables on 32-36-bit keys: the same scheme one rung up
-    * the Manku ladder, ~16× more chance headroom for 1.75× fan-out) and
+    * the Manku ladder, ~16× more chance headroom for 1.75× fan-out —
+    * measured exponent 1.017 on the same g300→g1000 leg,
+    * CANDVOL_r13_simonly) and
     * ultimately q35's minhash bands (volume 1.005 at g1000), whose key
     * space grows WITH the corpus. It
     * suppresses the last quadratic term visible at mid scale: q114's
@@ -187,8 +189,14 @@ object TextQueries {
     * scheme-equivalence test covers this form), and the oracle mirrors
     * THIS machinery: the 35 keyed SELECTs are generated from the same
     * [[Dedup.simhashCombos]]/[[Dedup.simhashBlockBounds]] enumeration
-    * the operator packs. Volume at depth: see CANDVOL_r13
-    * (q123_simhash_combo7 vs q116_simhash_combo at g300/g1000). */
+    * the operator packs. Volume at depth MEASURED
+    * (CANDVOL_r13_simonly): g300→g1000 exponent **1.017** where q116
+    * reads 1.204 in the same artifact — the extra key width restores
+    * near-linearity at the seventh decade. Absolute volumes: 32.0M at
+    * 15M docs / 108.9M at 50M docs, i.e. 1.53×/1.22× q116's — the
+    * fan-out premium SHRINKS with depth as q116's chance term grows,
+    * so the crossover past which q123 is strictly cheaper sits around
+    * the 10⁸-doc decade. */
   def q123SimhashCombos7(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     Dedup.verifiedJaccard(docs,

@@ -292,9 +292,16 @@ object CandVol {
       val m1 = v1.toMap; val m2 = v2.toMap
       val exps = volKeys.flatMap { k =>
         val base = if (k.startsWith("q113") || k.startsWith("q115")) "n_vecs" else "n_docs"
-        val ratio = m2(base) / m1(base)
-        for (a <- m1.get(k); b <- m2.get(k) if a > 0 && b > 0 && ratio > 1)
-          yield k -> math.log(b / a) / math.log(ratio)
+        // look the base up lazily INSIDE the guard: a focused mode
+        // (--simonly) emits no n_vecs, and an eager m2(base) here threw
+        // AFTER the volumes printed (round 13 — counts were recovered
+        // from stdout, but the exponent lines never ran)
+        for {
+          a <- m1.get(k); b <- m2.get(k)
+          r1 <- m1.get(base); r2 <- m2.get(base)
+          ratio = r2 / r1
+          if a > 0 && b > 0 && ratio > 1
+        } yield k -> math.log(b / a) / math.log(ratio)
       }
       exps.foreach { case (k, e) =>
         System.err.println(f"[candvol] $d1 -> $d2 $k%-22s exponent=$e%5.2f")
