@@ -196,7 +196,10 @@ object TextQueries {
     * 15M docs / 108.9M at 50M docs, i.e. 1.53×/1.22× q116's — the
     * fan-out premium SHRINKS with depth as q116's chance term grows,
     * so the crossover past which q123 is strictly cheaper sits around
-    * the 10⁸-doc decade. */
+    * the 10⁸-doc decade. Wall at g300 (BENCH_SCALE_r13_simwall,
+    * interleaved floors): 552 s vs q116's 248 s — the 2.22× premium
+    * is the keyed-shuffle fan-out; inside q116's envelope q116 is the
+    * cheaper form, which is why it keeps the headline slot. */
   def q123SimhashCombos7(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     Dedup.verifiedJaccard(docs,
