@@ -45,26 +45,55 @@ object CoOccur {
     * — S(S−1)/2 rows outright instead of the join's S² candidates, and
     * one fewer exchange.
     *
-    * MEASURED SLOWER than [[pairs]] despite the nicer row count: 3.6 s vs
-    * 1.95 s warm p50 on sf0.1 lineitem (499,500 pairs, identical output).
-    * collect_list + the nested transform/slice/flatten fall out of
-    * whole-stage codegen, while the self-join stays in codegen'd hash
-    * join + partial aggregation. Kept as the measured alternative (and
-    * the shape to revisit if per-key arrays ever become the input format
-    * upstream); q21 uses [[pairs]]. */
+    * The round-1 A/B measured this form SLOWER than [[pairs]] (3.6 s vs
+    * 1.95 s warm p50 on sf0.1 lineitem, 499,500 pairs, identical output)
+    * — but that measurement was taken with the combination emitter as
+    * nested transform/slice/flatten HOFs, which are CodegenFallback
+    * (interpreted, a closure dispatch + slice allocation per element) —
+    * the same expression class whose removal bought 9–25x on shingles
+    * and 42x on quantize. `viaExpr = true` (default) swaps the emitter
+    * for the codegen [[graft.functions.PairCombosExpr]] (output
+    * identical, CoOccurSpec pins all three forms frame-equal); the HOF
+    * arm is kept as the A/B baseline.
+    *
+    * Round-13 re-measurement (TimeQuery q21_join / q21_groups_hof /
+    * q21_groups_expr, interleaved at sf0.1): the codegen emitter removes
+    * the HOF penalty entirely (groups_hof floor 6.11 s vs groups_expr
+    * 3.56-3.67 s), but with the scale-safe pre-bound anti-join in place
+    * the whole form TIES the self-join on calm floors (3.56 vs 3.35 s —
+    * inside this host's noise band). On a tie the incumbent stands:
+    * q21/q74 keep [[pairs]]; this form remains the measured alternative
+    * for inputs that arrive already grouped (where collect_list is free)
+    * or where the S² -> S(S−1)/2 candidate reduction dominates (very
+    * large S near the cap). */
   def pairsViaGroups(df: DataFrame, keyCol: String, itemCol: String,
-      minShared: Long = 1L, maxItemsPerKey: Long = 64L): DataFrame = {
+      minShared: Long = 1L, maxItemsPerKey: Long = 64L,
+      viaExpr: Boolean = true): DataFrame = {
     require(maxItemsPerKey > 0, "pairsViaGroups needs a positive maxItemsPerKey " +
       "(the per-key collect_list is only safe bounded); use pairs() for unbounded")
     val distinctPairs = df.select(col(keyCol).as("key"), col(itemCol).as("item")).distinct()
-    val grouped = distinctPairs.groupBy("key")
+    // drop hot keys BEFORE collect_list, not after: a size filter on the
+    // collected array still buffers the full item list of a pathological
+    // key inside one aggregation task (one key held by 10^8 items is a
+    // task OOM, not a filter) — the same pre-bound anti-join as [[pairs]]
+    // keeps the per-key buffer <= maxItemsPerKey by construction. The
+    // count aggregate and the anti-join share distinctPairs' key
+    // partitioning, so this costs no extra exchange over the size-filter
+    // form.
+    val hot = distinctPairs.groupBy("key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxItemsPerKey)
+      .select("key")
+    val grouped = distinctPairs.join(hot, Seq("key"), "left_anti")
+      .groupBy("key")
       .agg(sort_array(collect_list(col("item"))).as("items"))
-      .filter(size(col("items")) <= maxItemsPerKey)
-    grouped
-      .select(explode(expr(
+    val combos =
+      if (viaExpr) graft.functions.PairCombosFn.pairCombos(col("items"))
+      else expr(
         """flatten(transform(items, (x, i) ->
           |  transform(slice(items, i + 2, size(items) - i - 1),
-          |    y -> struct(x AS item_a, y AS item_b))))""".stripMargin)).as("p"))
+          |    y -> struct(x AS item_a, y AS item_b))))""".stripMargin)
+    grouped
+      .select(explode(combos).as("p"))
       .select(col("p.item_a"), col("p.item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("shared_keys"))

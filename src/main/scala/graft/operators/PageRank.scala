@@ -75,19 +75,35 @@ object PageRank {
     * (callers unpersist when done). */
   def ranks(spark: SparkSession, edges: DataFrame, iters: Int,
       truncateEvery: Int = TruncateEvery,
-      truncViaCheckpoint: Boolean = false): DataFrame = {
+      truncViaCheckpoint: Boolean = false,
+      hoistDeg: Boolean = HoistDeg): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(truncateEvery >= 1, s"truncateEvery must be >= 1, got $truncateEvery")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // LOOP-INVARIANT join hoist (round 13, guide §2.4): `e ⋈ deg` is
+    // constant across iterations — outdeg depends only on the edge set —
+    // so one persisted (src, dst, outdeg) frame removes a join from
+    // every iteration. Arithmetic is untouched (`rank div outdeg` over
+    // identical rows), so ranks are bit-identical; PageRankSpec pins
+    // both forms against the in-memory reference. MEASURED SLOWER at
+    // bench scale (see [[HoistDeg]] for the numbers and why: the deg
+    // join is a broadcast there, the hoisted frame a wider per-iteration
+    // cache scan) — kept as the dial for graphs whose deg table outgrows
+    // the broadcast threshold, where the per-iteration join becomes an
+    // |E|-shuffle.
+    val eDeg =
+      if (hoistDeg)
+        e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+      else null
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // scalar to driver: bounded, documented
     if (n == 0) { // empty graph: empty ranks, not a division by zero
-      Seq(e, deg, nodes).foreach(_.unpersist(false))
+      (Seq(e, deg, nodes) ++ Option(eDeg)).foreach(_.unpersist(false))
       import spark.implicits._
       return spark.emptyDataset[(Long, Long)].toDF("node", "rank")
     }
@@ -96,9 +112,13 @@ object PageRank {
     var ranks = nodes.select(col("node"), lit(init).as("rank"))
     var prevTrunc: Option[DataFrame] = None
     for (i <- 1 to iters) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
+      val joined =
+        if (hoistDeg)
+          eDeg.join(ranks.withColumnRenamed("node", "src"), "src")
+        else
+          e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+      val contrib = joined
         .groupBy("dst")
         .agg(sum(expr("rank div outdeg")).as("insum"))
       ranks = nodes
@@ -141,7 +161,7 @@ object PageRank {
     }
     val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize the final iteration
-    (Seq(e, deg, nodes) ++ prevTrunc).foreach(_.unpersist(false))
+    (Seq(e, deg, nodes) ++ Option(eDeg) ++ prevTrunc).foreach(_.unpersist(false))
     out
   }
 
@@ -154,6 +174,20 @@ object PageRank {
     * 5-iteration bench shape never rebases, shallow enough that a deep
     * run's analysis cost stays linear. */
   val RebaseEvery = 5
+
+  /** Hoist the loop-invariant `e ⋈ deg` join out of the iteration loop
+    * (see the comment at the hoist site). MEASURED SLOWER at bench scale
+    * and kept OFF: two interleaved TimeQuery sessions at sf0.1
+    * (q68_hoist vs q68_plain, 3+4 runs) read floors 11.37 vs 9.86 and
+    * 10.68 vs 9.22 — AQE broadcasts the |V|-sized deg table (~21k rows
+    * here), so the "hoisted" join was already a near-free broadcast per
+    * iteration, while the hoisted (src, dst, outdeg) frame is a WIDER
+    * cached scan every iteration plus one extra preamble
+    * materialization. The hoist wins only where deg outgrows the
+    * broadcast threshold (|V| ~ 10^8+, where a per-iteration |E|-shuffle
+    * join would appear) — that is the dial's documented use, not the
+    * local default. */
+  val HoistDeg = false
 
   /** DuckDB twin of [[ranks]]: unrolled CTE chain with identical integer
     * arithmetic (`//` integral division; sums cast back to BIGINT since

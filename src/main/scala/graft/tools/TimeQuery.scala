@@ -312,6 +312,51 @@ object TimeQuery {
         graft.operators.PageRank.ranks(s, edges, 5, truncateEvery = 1,
           truncViaCheckpoint = true).orderBy("node")
       }),
+      // round-13 loop-invariant-join A/B: the declared 5-iteration q68
+      // with the per-iteration `e ⋈ deg` join (plain — the pre-r13
+      // shape) vs the hoisted persisted (src, dst, outdeg) frame
+      // (PageRank.HoistDeg). Interleave the pair; output bit-identical
+      // (integer arithmetic over identical rows, PageRankSpec pins it).
+      "q68_hoist" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 5, hoistDeg = true)
+          .orderBy("node")
+      }),
+      "q68_plain" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 5, hoistDeg = false)
+          .orderBy("node")
+      }),
+      // round-13 co-occurrence form A/B (the round-1 "pairsViaGroups is
+      // slower" verdict was measured with interpreted HOF combination
+      // emitters — re-decide with the codegen PairCombosExpr arm):
+      // q21_join = the declared self-join form; q21_groups_hof = per-key
+      // explosion, HOF emitter; q21_groups_expr = per-key explosion,
+      // codegen emitter. All three output-identical (CoOccurSpec).
+      "q21_join" -> ((s, d) => graft.operators.CoOccur.pairs(
+        graft.core.Tables.lineitem(s, d).select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", minShared = 2L, maxItemsPerKey = 64L)
+        .orderBy("item_a", "item_b")),
+      "q21_groups_hof" -> ((s, d) => graft.operators.CoOccur.pairsViaGroups(
+        graft.core.Tables.lineitem(s, d).select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", minShared = 2L, maxItemsPerKey = 64L,
+        viaExpr = false)
+        .orderBy("item_a", "item_b")),
+      "q21_groups_expr" -> ((s, d) => graft.operators.CoOccur.pairsViaGroups(
+        graft.core.Tables.lineitem(s, d).select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", minShared = 2L, maxItemsPerKey = 64L,
+        viaExpr = true)
+        .orderBy("item_a", "item_b")),
       "q68_t1_persist" -> ((s, d) => {
         import org.apache.spark.sql.functions.col
         val sp = graft.core.Tables.lineitem(s, d)

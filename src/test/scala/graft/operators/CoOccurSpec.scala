@@ -37,18 +37,50 @@ class CoOccurSpec extends SparkSpec {
     assert(got == Set((2, 3, 2L)))
   }
 
-  test("pairsViaGroups is pair-for-pair identical to the self-join form") {
+  test("pairsViaGroups (HOF and codegen-expr forms) is pair-for-pair identical to the self-join form") {
     // same fixture, bound active (hot key dropped) and minShared applied:
-    // both formulations must agree on the exact multiset
-    def run(fn: (org.apache.spark.sql.DataFrame, String, String, Long, Long) =>
-        org.apache.spark.sql.DataFrame) =
-      fn(df, "k", "item", 1L, 4L).as[(Int, Int, Long)].collect().toSet
-    assert(run(CoOccur.pairs) == run(CoOccur.pairsViaGroups))
-    assert(run(CoOccur.pairsViaGroups) == Set((1, 2, 1L), (1, 3, 1L), (2, 3, 2L)))
+    // all three formulations must agree on the exact multiset
+    val expected = Set((1, 2, 1L), (1, 3, 1L), (2, 3, 2L))
+    val join = CoOccur.pairs(df, "k", "item", 1L, 4L)
+      .as[(Int, Int, Long)].collect().toSet
+    val hof = CoOccur.pairsViaGroups(df, "k", "item", 1L, 4L, viaExpr = false)
+      .as[(Int, Int, Long)].collect().toSet
+    val viaExpr = CoOccur.pairsViaGroups(df, "k", "item", 1L, 4L, viaExpr = true)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(join == expected)
+    assert(hof == expected)
+    assert(viaExpr == expected)
     // unbounded request is a contract violation for the grouped form
     intercept[IllegalArgumentException] {
       CoOccur.pairsViaGroups(df, "k", "item", 1L, 0L)
     }
+  }
+
+  test("PairCombosExpr equals the HOF emitter element-for-element (order included)") {
+    // the expression's exactness contract: same structs in the same
+    // (i asc, j asc) order as flatten/transform/slice — checked on the
+    // raw arrays (longs and strings), not just the aggregated pairs,
+    // including the n<2 edge cases
+    val arrs = Seq(
+      Seq(1L, 2L, 3L, 4L), Seq(7L), Seq.empty[Long], Seq(5L, 5L), Seq(2L, 9L))
+      .toDF("items")
+    val hofCol = expr(
+      """flatten(transform(items, (x, i) ->
+        |  transform(slice(items, i + 2, size(items) - i - 1),
+        |    y -> struct(x AS item_a, y AS item_b))))""".stripMargin)
+    val got = arrs.select(
+      graft.functions.PairCombosFn.pairCombos(col("items")).as("e"),
+      hofCol.as("h"))
+      .selectExpr("cast(e as string) AS es", "cast(h as string) AS hs")
+      .as[(String, String)].collect()
+    got.foreach { case (e, h) => assert(e == h, s"expr $e != hof $h") }
+    val strs = Seq(Seq("b", "a", "c"), Seq("x")).toDF("items")
+    val gotS = strs.select(
+      graft.functions.PairCombosFn.pairCombos(col("items")).as("e"),
+      hofCol.as("h"))
+      .selectExpr("cast(e as string) AS es", "cast(h as string) AS hs")
+      .as[(String, String)].collect()
+    gotS.foreach { case (e, h) => assert(e == h, s"expr $e != hof $h") }
   }
 
   test("q21's cap=64 is inert on the fixture (capped == uncapped)") {

@@ -45,6 +45,31 @@ class PageRankSpec extends SparkSpec {
     assert(got == ck, "persist+rebase path vs checkpoint path")
   }
 
+  test("hoisted e⋈deg path is bit-identical to the per-iteration-join path") {
+    // the round-13 loop-invariant hoist is a plan transformation over
+    // identical rows (`rank div outdeg` sees the same (src, dst, outdeg,
+    // rank) tuples either way) — both forms must equal the in-memory
+    // reference and each other on random graphs
+    val rnd = new scala.util.Random(37)
+    (1 to 4).foreach { trial =>
+      val n = 4 + rnd.nextInt(16)
+      val edges = (0 until 3 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val iters = 2 + rnd.nextInt(3)
+        val hoisted = PageRank.ranks(spark, df, iters, hoistDeg = true)
+          .as[(Long, Long)].collect().toMap
+        val plain = PageRank.ranks(spark, df, iters, hoistDeg = false)
+          .as[(Long, Long)].collect().toMap
+        assert(hoisted == plain, s"trial $trial hoist vs plain")
+        assert(hoisted == PageRankReference.ranks(edges, iters),
+          s"trial $trial vs reference")
+      }
+    }
+  }
+
   test("a source-only node keeps its damping base; a chain never goes extinct") {
     // directed chain 1 -> 2 -> 3: node 1 has no in-links and must retain
     // the base share every iteration; the rank set stays all three nodes
