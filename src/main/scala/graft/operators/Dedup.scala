@@ -153,8 +153,12 @@ object Dedup {
     * `shingleForm` (no silent row-count gate — that would be an eager
     * count() job inside every caller's timed window, the q97 guard
     * lesson). "distinct" remains the r10 exchange-reuse arm, measured
-    * losing at g10 and the original g1000 disk overflow. */
-  private[graft] val DefaultShingleForm = "rescan"
+    * losing at g10 and the original g1000 disk overflow.
+    *
+    * A `var` (house pattern, [[graft.functions.TextFunctions.UseShinglesExpr]])
+    * so plan-evidence tooling ([[graft.tools.ExplainDump]]) can build the
+    * pre-flip "before" plans; nothing in main mutates it. */
+  @volatile private[graft] var DefaultShingleForm = "rescan"
 
   /** [[ngramJaccard]] with an explicit [[shingleFrame]] form, returning
     * the free thunk. PRECONDITION (all forms): `idCol` values are

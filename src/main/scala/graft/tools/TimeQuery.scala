@@ -337,6 +337,14 @@ object TimeQuery {
         graft.operators.PageRank.ranks(s, edges, 5, hoistDeg = false)
           .orderBy("node")
       }),
+      // round-13 q74 top-edge pin A/B: the wedge-close join reads its
+      // edge input 3x; rescan re-derives the whole CoOccur pipeline per
+      // read (12 scans in the r13 plan audit), pin cuts it to one via an
+      // eager 100-row localCheckpoint. Output identical (plan cut).
+      "q74_pin" -> ((s, d) =>
+        graft.queries.AnalyticsQueries.q74WithPin(s, d, pinTop = true)),
+      "q74_rescan" -> ((s, d) =>
+        graft.queries.AnalyticsQueries.q74WithPin(s, d, pinTop = false)),
       // round-13 co-occurrence form A/B (the round-1 "pairsViaGroups is
       // slower" verdict was measured with interpreted HOF combination
       // emitters — re-decide with the codegen PairCombosExpr arm):

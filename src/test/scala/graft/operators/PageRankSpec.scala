@@ -97,6 +97,18 @@ class PageRankSpec extends SparkSpec {
     assert(rank(3L) > rank(4L))
   }
 
+  test("q74 top-edge pin is output-identical to the rescan form") {
+    // the round-13 pin is a plan cut (eager localCheckpoint of the
+    // deterministic 100-row top frame), never a value change
+    val d = "/root/testdata/sf0.001"
+    val pin = graft.queries.AnalyticsQueries.q74WithPin(spark, d, pinTop = true)
+      .collect().toSeq
+    val rescan = graft.queries.AnalyticsQueries.q74WithPin(spark, d, pinTop = false)
+      .collect().toSeq
+    assert(pin == rescan)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("triangle enumeration matches brute force on random canonical graphs") {
     val rnd = new scala.util.Random(41)
     (1 to 8).foreach { trial =>
