@@ -170,8 +170,12 @@ object Bench {
     val sents = sentBrackets.map { case (k, s) => "\"" + k + "\":" + fmt(s.max) }
       .mkString("{", ",", "}")
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cpus/shuffle_partitions stamped (ADVICE r13): an 8-core sanity leg
+    // and a local[32] headline run were indistinguishable in
+    // BENCH_HISTORY without them — the same blind-comparison hazard
+    // ScaleBench's parts/driver_mem_gb stamps fixed.
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness":"noop","cache_cleared":true,"queries":$qs,"raw":$raws,"ok":$oks,"all_ok":$allOk,"sentinel_floor":${fmt(sentFloor)},"sentinel_max":$sents,"stall_suspect":$suspectJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness":"noop","cache_cleared":true,"cpus":$cpus,"shuffle_partitions":$cpus,"queries":$qs,"raw":$raws,"ok":$oks,"all_ok":$allOk,"sentinel_floor":${fmt(sentFloor)},"sentinel_max":$sents,"stall_suspect":$suspectJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     // Durable history (ADVICE r5): bench_out.json is overwritten every
     // run and the driver's archived artifact stays unparsed on rc!=0 —
@@ -188,7 +192,7 @@ object Bench {
     val failing = results.filterNot(_._2).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness":"noop","cache_cleared":true,"queries":$qs,"all_ok":$allOk,"failed":$failing,"sentinel_floor":${fmt(sentFloor)},"stall_suspect":$suspectJson,"sf":"$sfDir","full_record":"bench_out.json"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness":"noop","cache_cleared":true,"cpus":$cpus,"queries":$qs,"all_ok":$allOk,"failed":$failing,"sentinel_floor":${fmt(sentFloor)},"stall_suspect":$suspectJson,"sf":"$sfDir","full_record":"bench_out.json"}""")
     if (!allOk) sys.exit(1)
   }
 }

@@ -227,6 +227,76 @@ class DedupSpec extends SparkSpec {
       .collect { case (bs, i) if bs.contains(2) => i })
   }
 
+  test("q123 adversarial fixture: hand-written 7-block layout + 35 combos on a 5-sig corpus") {
+    // VERDICT r13 #4/#7: q123's oracle SQL is GENERATED from the same
+    // simhashCombos/simhashBlockBounds enumeration the operator packs,
+    // so a bug in that shared enumeration would escape both sides. This
+    // fixture is independent of it: the 9/9/9/9/8/8/8 block layout and
+    // all 35 lexicographic 4-subsets are hand-written literals, and the
+    // candidate/pair semantics are brute-forced — perturb the shared
+    // enumeration (order, bounds, packing) and this fails even though
+    // operator and oracle still agree with each other.
+    val bounds = Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8))
+    val combos: Seq[Seq[Int]] = Seq(
+      Seq(0,1,2,3), Seq(0,1,2,4), Seq(0,1,2,5), Seq(0,1,2,6), Seq(0,1,3,4),
+      Seq(0,1,3,5), Seq(0,1,3,6), Seq(0,1,4,5), Seq(0,1,4,6), Seq(0,1,5,6),
+      Seq(0,2,3,4), Seq(0,2,3,5), Seq(0,2,3,6), Seq(0,2,4,5), Seq(0,2,4,6),
+      Seq(0,2,5,6), Seq(0,3,4,5), Seq(0,3,4,6), Seq(0,3,5,6), Seq(0,4,5,6),
+      Seq(1,2,3,4), Seq(1,2,3,5), Seq(1,2,3,6), Seq(1,2,4,5), Seq(1,2,4,6),
+      Seq(1,2,5,6), Seq(1,3,4,5), Seq(1,3,4,6), Seq(1,3,5,6), Seq(1,4,5,6),
+      Seq(2,3,4,5), Seq(2,3,4,6), Seq(2,3,5,6), Seq(2,4,5,6), Seq(3,4,5,6))
+    val mask = (1L << 60) - 1
+    val s0 = 0x0FED_CBA9_8765_4321L & mask
+    // 3 flips in 3 distinct blocks (bits 3 / 20 / 45 -> blocks 0, 2, 5)
+    val s1 = s0 ^ (1L << 3) ^ (1L << 20) ^ (1L << 45)
+    // 4 flips in 4 distinct blocks — just outside maxDist
+    val s2 = s0 ^ (1L << 7) ^ (1L << 12) ^ (1L << 30) ^ (1L << 55)
+    val s3 = s0 // exact dup
+    val s4 = 0x02468_ACE1_3579_BDFL & mask // unrelated
+    val sigs = Seq((10L, s0), (11L, s1), (12L, s2), (13L, s3), (14L, s4))
+    val sims = sigs.toDF("id", "simhash")
+    // hand-computed expected keys: pack each combo's blocks consecutively
+    def handKeys(sig: Long): Seq[Long] = combos.map { bs =>
+      bs.foldLeft((0L, 0)) { case ((acc, shift), b) =>
+        val (off, w) = bounds(b)
+        (acc | (((sig >>> off) & ((1L << w) - 1)) << shift), shift + w)
+      }._1
+    }
+    val got = Dedup.simhashComboKeys(sims, maxDist = 3,
+        bits = Dedup.PortableSimHashBits, nBlocks = 7)
+      .select(col("id"), col("combo_idx"), col("combo_key"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for ((id, sig) <- sigs)
+      assert(got(id) == handKeys(sig), s"combo keys of sig id=$id")
+    // candidate semantics: ids sharing any (idx, key) -> exactly the
+    // brute-force Hamming<=3 pairs after the Hamming filter
+    val keyed = sigs.flatMap { case (id, s) =>
+      handKeys(s).zipWithIndex.map { case (k, i) => ((i, k), id) } }
+    val cands = keyed.groupBy(_._1).values.flatMap { g =>
+      val ids = g.map(_._2).distinct.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sigOf = sigs.toMap
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b && ham(sa, sb) <= 3
+    } yield (a, b)).toSet
+    assert(brute == Set((10L, 11L), (10L, 13L), (11L, 13L)))
+    assert(brute.subsetOf(cands), "7-block pigeonhole completeness (hand keys)")
+    assert(cands.filter { case (a, b) => ham(sigOf(a), sigOf(b)) <= 3 } == brute)
+    // and the operator's own keyed join agrees with the hand candidates
+    val opCands = Dedup.simhashComboKeys(sims, maxDist = 3,
+        bits = Dedup.PortableSimHashBits, nBlocks = 7)
+      .select(col("combo_idx").cast("long"), col("combo_key"), col("id"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).values.flatMap { g =>
+        val ids = g.map(_._3).distinct.sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    assert(opCands == cands)
+  }
+
   test("pigeonhole laws hold on 360 random signatures for both table schemes") {
     // drive the REAL key frames (simhashChunkKeys / simhashComboKeys)
     // with seeded random 60-bit signatures plus planted <=3-flip pairs,
