@@ -82,8 +82,21 @@ object Dedup {
     *    implicit reuse point, at the price of shuffling the whole
     *    exploded corpus (the r11 disk overflow).
     *
+    *  - `"stage"` — the disk-bound-depth reuse form (r14, VERDICT r13
+    *    #3): the (capped) frame is written ONCE as zstd parquet to a
+    *    session-local temp directory and every consumer reads that.
+    *    Same sharing as "pin" but the store is columnar + compressed
+    *    (text shingles compress ~10×, vs pin's uncompressed UnsafeRow
+    *    block store), and reads re-stream from disk instead of pinning
+    *    executor storage memory — the form aimed at the g300 regime
+    *    where rescan's 3-4 concurrent corpus-sized shuffles ENOSPC'd
+    *    this box (round 13) and pin's block store is the documented
+    *    g1000 hazard. The write is an eager job at plan construction
+    *    (inside any timed window, like pin's checkpoint).
+    *
     * Returns the frame plus a free thunk (no-op except for `"pin"`,
-    * where it releases the checkpoint blocks — callers that materialize
+    * where it releases the checkpoint blocks, and `"stage"`, where it
+    * deletes the staged directory — callers that materialize
     * eagerly should invoke it; batch entries may leave it to the
     * ContextCleaner, as [[verifiedJaccard]] documents). */
   private[graft] def shingleFrame(docs: DataFrame, idCol: String,
@@ -93,6 +106,20 @@ object Dedup {
     case "pin" =>
       val p = docShingles(docs, idCol, textCol, n, maxDocFreq).localCheckpoint()
       (p, () => graft.core.Sessions.freeCheckpoint(p))
+    case "stage" =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-shingle-stage")
+      val path = dir.toUri.toString
+      docShingles(docs, idCol, textCol, n, maxDocFreq)
+        .write.mode("overwrite").option("compression", "zstd").parquet(path)
+      val free = () => {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+        ()
+      }
+      (docs.sparkSession.read.parquet(path), free)
     case "distinct" =>
       val sh = docs
         .select(col(idCol).as("id"), explode(T.shingles(col(textCol), n)).as("shingle"))
@@ -290,10 +317,17 @@ object Dedup {
     * EXACT join keys the operator shuffles, not a reimplementation. */
   private[graft] def minhashBandKeys(docs: DataFrame, k: Int = 16,
       bands: Int = 4, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      pinSigs: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sigs = minhashSignatures(docs, k, n, idCol, textCol)
+    // pinSigs: one localCheckpoint of the (id, sig) frame — the k-hash
+    // signature pipeline (corpus scan + shingle explode + k rehashes +
+    // groupBy-min) is otherwise re-derived by every consumer of the
+    // banded frame (minhashLsh reads it on both join sides). Narrow:
+    // ~8(k+1) bytes/doc. Same rationale as [[DefaultPinSims]].
+    val sigs0 = minhashSignatures(docs, k, n, idCol, textCol)
+    val sigs = if (pinSigs) sigs0.localCheckpoint() else sigs0
     sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))
@@ -305,8 +339,20 @@ object Dedup {
     * fraction of equal signature components. */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4, n: Int = 3,
       minEstimate: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val banded = minhashBandKeys(docs, k, bands, n, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      pinSigs: Boolean = DefaultPinSims,
+      pruneSingletons: Boolean = DefaultPruneSingletons): DataFrame = {
+    val banded0 = minhashBandKeys(docs, k, bands, n, idCol, textCol, pinSigs)
+    // singleton (band, band_hash) buckets can't produce a candidate pair,
+    // and the band join carries BOTH 8k-byte signatures per row — prune
+    // before the join pays its fan-out (see [[DefaultPruneSingletons]])
+    val banded = if (!pruneSingletons) banded0 else {
+      val multi = banded0.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select("band", "band_hash")
+      banded0.join(multi, Seq("band", "band_hash"), "left_semi")
+    }
     val cands = banded.select(col("band"), col("band_hash"),
         col("id").as("id_a"), col("sig").as("sig_a"))
       .join(banded.select(col("band"), col("band_hash"),
@@ -529,8 +575,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
-      saltBuckets: Int = 16, n: Int = 3): DataFrame =
-    simhashChunkJoin(simhashDocs(docs, idCol, textCol, n),
+      saltBuckets: Int = 16, n: Int = 3,
+      pinSims: Boolean = DefaultPinSims): DataFrame =
+    simhashChunkJoin(pinnedSims(simhashDocs(docs, idCol, textCol, n), pinSims),
       maxDist, SimHash.Bits, saltBuckets)
 
   /** Signature width of the [[simhashDocsPortable]] family: 60 bits (15
@@ -573,8 +620,10 @@ object Dedup {
     * hold the volume linear at the same exact output. */
   def simhashPairsPortable(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      saltBuckets: Int = 16, n: Int = 3): DataFrame =
-    simhashChunkJoin(simhashDocsPortable(docs, idCol, textCol, n),
+      saltBuckets: Int = 16, n: Int = 3,
+      pinSims: Boolean = DefaultPinSims): DataFrame =
+    simhashChunkJoin(pinnedSims(simhashDocsPortable(docs, idCol, textCol, n),
+        pinSims),
       maxDist, PortableSimHashBits, saltBuckets)
 
   /** SimHash candidates via Manku's BLOCK-COMBINATION tables — **the
@@ -618,11 +667,52 @@ object Dedup {
     * per-doc side-B fan-out 40 rows vs the chunk scheme's 64). */
   def simhashPairsCombinatorial(docs: DataFrame, maxDist: Int = 3,
       nBlocks: Int = 6, idCol: String = "doc_id", textCol: String = "text",
-      saltBuckets: Int = 2, n: Int = 3): DataFrame =
+      saltBuckets: Int = 2, n: Int = 3,
+      pinSims: Boolean = DefaultPinSims,
+      pruneSingletons: Boolean = DefaultPruneSingletons): DataFrame =
     simhashKeyedJoin(
-      simhashComboKeys(simhashDocsPortable(docs, idCol, textCol, n),
+      simhashComboKeys(pinnedSims(simhashDocsPortable(docs, idCol, textCol, n),
+          pinSims),
         maxDist, PortableSimHashBits, nBlocks),
-      "combo_idx", "combo_key", maxDist, saltBuckets)
+      "combo_idx", "combo_key", maxDist, saltBuckets, pruneSingletons)
+
+  /** Default for the `pinSims` dial of the simhash pair entries: ONE
+    * eager localCheckpoint of the narrow (id, simhash) signature frame
+    * (16 bytes/doc — ~800 MB even at 5·10⁷ docs, nothing like the
+    * exploded-shingle frames the "rescan" decision was about). Without
+    * it, [[simhashKeyedJoin]]'s two join sides each re-derive the FULL
+    * signature pipeline — corpus scan, shingle explode, per-shingle md5,
+    * SimHash aggregation (2 corpus-sized shuffles) — because the sides
+    * shuffle on different keys and Spark reuses only identical Exchange
+    * subtrees. Flipped to true by r14 measurement (interleaved floors;
+    * OPTIMIZATION_r14 §7): with pruneSingletons, q116 at g100
+    * 123.5 → 101.8 s (and 449.6 → 134.7 s in the cold-cache window),
+    * q123 at g100 558.7/353.4 → 331.1/241.9 s (1.69×/1.46×, both
+    * paired windows), q35 at g100 104.8/32.4 → 96.9/27.2 s; at g10
+    * declared 14.7-15.8 → 12.1-13.2 s floors; at sf0.1 a ≤0.1 s wash.
+    * The standalone signature stage measured 0.53 s of q116's 1.40 s at
+    * sf0.1 (q116_sims arm) — the pin halves exactly that term. */
+  @volatile private[graft] var DefaultPinSims = true
+
+  /** Default for the `pruneSingletons` dial: drop (table, key) buckets
+    * with fewer than 2 rows BEFORE the salted self-join. A singleton
+    * bucket cannot produce a pair, and with 27-36-bit keys almost every
+    * bucket is a singleton at any real corpus size (the keyed join's
+    * whole point is making chance collisions rare) — so the salted join,
+    * whose side B replicates every row saltBuckets times, shuffles
+    * ~3·saltBuckets× more keyed rows than can ever meet. The prune costs
+    * one narrow (idx, key, count) aggregate (map-side combinable) plus a
+    * left-semi attach; the non-singleton key set is small enough that
+    * AQE broadcasts it at every measured scale. Guide §2.3 (shuffle
+    * fewer bytes) applied to the candidate join. Flipped to true by r14
+    * measurement together with [[DefaultPinSims]] (numbers there);
+    * prune WITHOUT pin measured slower at sf0.1 (the count aggregate
+    * re-derives the signature pipeline a third time), so the two dials
+    * ship as a pair. */
+  @volatile private[graft] var DefaultPruneSingletons = true
+
+  private def pinnedSims(sims: DataFrame, pin: Boolean): DataFrame =
+    if (pin) sims.localCheckpoint() else sims
 
   /** All C(nBlocks, chooseK) block subsets in lexicographic order — the
     * table index of [[simhashComboKeys]]. Factored (and kept ordered) so
@@ -706,11 +796,14 @@ object Dedup {
   def simhashPairsPermuted(docs: DataFrame, maxDist: Int = 3,
       nOuter: Int = 4, nInner: Int = 4,
       idCol: String = "doc_id", textCol: String = "text",
-      saltBuckets: Int = 2, n: Int = 3): DataFrame =
+      saltBuckets: Int = 2, n: Int = 3,
+      pinSims: Boolean = DefaultPinSims,
+      pruneSingletons: Boolean = DefaultPruneSingletons): DataFrame =
     simhashKeyedJoin(
-      simhashPermutedKeys(simhashDocsPortable(docs, idCol, textCol, n),
+      simhashPermutedKeys(pinnedSims(simhashDocsPortable(docs, idCol, textCol, n),
+          pinSims),
         maxDist, PortableSimHashBits, nOuter, nInner),
-      "tbl_idx", "tbl_key", maxDist, saltBuckets)
+      "tbl_idx", "tbl_key", maxDist, saltBuckets, pruneSingletons)
 
   /** Bit segments of [[simhashPairsPermuted]]'s nOuter·nInner tables, in
     * table order (i major, j minor): each table is a list of (offset,
@@ -807,8 +900,19 @@ object Dedup {
     * table-idx, key) candidate frame — the join body of both the chunk
     * ([[simhashChunkJoin]]) and block-combination
     * ([[simhashPairsCombinatorial]]) table schemes. */
-  private def simhashKeyedJoin(keys: DataFrame, idxCol: String,
-      keyCol: String, maxDist: Int, saltBuckets: Int): DataFrame = {
+  private def simhashKeyedJoin(keys0: DataFrame, idxCol: String,
+      keyCol: String, maxDist: Int, saltBuckets: Int,
+      pruneSingletons: Boolean = false): DataFrame = {
+    // drop can't-pair buckets before the fan-out (see
+    // [[DefaultPruneSingletons]]): a (table, key) bucket with one row
+    // contributes nothing downstream — count >= 2 iff >= 2 distinct docs
+    // (each doc emits exactly one row per table index)
+    val keys = if (!pruneSingletons) keys0 else {
+      val multi = keys0.groupBy(idxCol, keyCol).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select(idxCol, keyCol)
+      keys0.join(multi, Seq(idxCol, keyCol), "left_semi")
+    }
     keys.select(col(idxCol), col(keyCol),
         col("id").as("id_a"), col("simhash").as("sim_a"),
         pmod(hash(col("id")), lit(saltBuckets)).as("salt"))
@@ -1239,10 +1343,18 @@ object Dedup {
     * tripled q97's benched p50). */
   def prefixCandidates(docs: DataFrame, threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      guard: Boolean = true): DataFrame = {
+      guard: Boolean = true, pinPrefix: Boolean = false): DataFrame = {
     if (guard) prefixFilterWarning(docs, n, idCol = idCol, textCol = textCol)
       .foreach(log.warn(_))
-    val prefix = prefixKeys(docs, threshold, n, idCol, textCol)
+    // pinPrefix (r14 A/B dial): the prefix frame feeds BOTH sides of the
+    // candidate self-join, and each side re-derives the full
+    // shingle-df + per-doc rank pipeline (the frame's two window shuffles
+    // run twice). One eager localCheckpoint of the narrow
+    // (id, shingle, rk, n_sh) frame halves that — at the price of a
+    // corpus-prefix-sized block store (the same trade as the shingle
+    // "pin" form, so it stays a dial, not the default).
+    val prefix0 = prefixKeys(docs, threshold, n, idCol, textCol)
+    val prefix = if (pinPrefix) prefix0.localCheckpoint() else prefix0
     val tEff = threshold - 5e-5 // see prefixKeys' recall note
     // PPJoin positional filter (Xiao et al., WWW'08): when a pair first
     // meets at prefix positions (i, j), its overlap can't exceed

@@ -354,15 +354,45 @@ object TextQueries {
     * q44, q48 semantics) and stays a pure function of document identity
     * and content, so the whole pipeline is reproducible on any cluster —
     * and DuckDB-verifiable as ONE query. */
-  def q100PipelineE2e(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+  def q100PipelineE2e(s: SparkSession, d: String): DataFrame =
+    q100WithExact(s, d, minAgg = true)
+
+  /** [[q100PipelineE2e]] with an explicit exact-dedup shape — the r14
+    * A/B arm behind TimeQuery's q100_window/q100_minagg.
+    *
+    * `minAgg = false` (the pre-r14 shape): a `min(doc_id) over
+    * (partition by fp)` window — the FULL corpus (text included) is
+    * shuffled by fingerprint, sorted, windowed, then shuffled AGAIN by
+    * doc_id for the component join: two corpus-sized text shuffles.
+    *
+    * `minAgg = true` (guide §2.3/§8 — decide with small rows, move big
+    * rows once): the survivor set {min(doc_id) per fp} is computed on a
+    * NARROW (fp, doc_id) projection with a map-side-combinable min, then
+    * attached by left-semi join on doc_id. The text pays one extra
+    * columnar scan but shuffles only ONCE (by doc_id), and that
+    * exchange+sort is shared with the downstream component join (both
+    * key on doc_id). Output identical: ids are unique, so doc_id ∈
+    * {min(doc_id) per fp over quality docs} selects exactly the rows the
+    * window form keeps. */
+  private[graft] def q100WithExact(s: SparkSession, d: String,
+      minAgg: Boolean): DataFrame = {
     val quality = Tables.documents(s, d)
       .filter(T.nTokens(col("text")) >= MinTokensE2e)
-    val exactKept = quality
-      .withColumn("fp", T.contentFingerprint(col("text")))
-      .withColumn("min_id", min("doc_id").over(w))
-      .filter(col("doc_id") === col("min_id"))
-      .drop("fp", "min_id")
+    val exactKept =
+      if (minAgg) {
+        val minIds = quality
+          .select(T.contentFingerprint(col("text")).as("fp"), col("doc_id"))
+          .groupBy("fp").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        quality.join(minIds, Seq("doc_id"), "left_semi")
+      } else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+        quality
+          .withColumn("fp", T.contentFingerprint(col("text")))
+          .withColumn("min_id", min("doc_id").over(w))
+          .filter(col("doc_id") === col("min_id"))
+          .drop("fp", "min_id")
+      }
     val (pairsAll, shFree) = Dedup.ngramJaccardForm(exactKept, n = 3,
       threshold = 0.5, idCol = "doc_id", textCol = "text",
       maxDocFreq = MaxShingleDf, form = Dedup.DefaultShingleForm)

@@ -31,12 +31,12 @@ import graft.core.Sessions
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
-    val known = Set("--hof-shingles", "--pin-shingles")
+    val known = Set("--hof-shingles", "--pin-shingles", "--no-dedup-dials")
     val flags = args.filter(_.startsWith("--")).toSet
     require(flags.subsetOf(known), s"unknown flags: ${(flags -- known).mkString(", ")}")
     val pos = args.filterNot(_.startsWith("--"))
     require(pos.length >= 3,
-      "usage: ExplainDump <sfDir> <outDir> <suffix> [names] [--hof-shingles] [--pin-shingles]")
+      "usage: ExplainDump <sfDir> <outDir> <suffix> [names] [--hof-shingles] [--pin-shingles] [--no-dedup-dials]")
     val (sfDir, outDir, suffix) = (pos(0), pos(1), pos(2))
     val names: Seq[String] =
       if (pos.length > 3) pos(3).split(",").toSeq
@@ -45,6 +45,12 @@ object ExplainDump {
       graft.functions.TextFunctions.UseShinglesExpr = false
     if (flags.contains("--pin-shingles"))
       graft.operators.Dedup.DefaultShingleForm = "pin"
+    if (flags.contains("--no-dedup-dials")) {
+      // the pre-round-14 simhash/minhash shapes: signature pipeline
+      // re-derived per join side, no singleton-bucket prune
+      graft.operators.Dedup.DefaultPinSims = false
+      graft.operators.Dedup.DefaultPruneSingletons = false
+    }
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "explain-dump")
     spark.sparkContext.setLogLevel("ERROR")
@@ -63,6 +69,23 @@ object ExplainDump {
       }),
       "q74_rescan_alt" -> ((s, d) =>
         graft.queries.AnalyticsQueries.q74WithPin(s, d, pinTop = false)),
+      // candidate-generation subplans of the simhash/minhash family: the
+      // declared queries checkpoint the candidate frame eagerly inside
+      // verifiedJaccard, so their FINAL plans never show the keyed join —
+      // the r14 pin/prune evidence lives in these subplans (dump them
+      // with and without --no-dedup-dials for the before/after pair)
+      "q116_cands_alt" -> ((s, d) => graft.operators.Dedup
+        .simhashPairsCombinatorial(graft.core.Tables.documents(s, d),
+          maxDist = 3)),
+      "q123_cands_alt" -> ((s, d) => graft.operators.Dedup
+        .simhashPairsCombinatorial(graft.core.Tables.documents(s, d),
+          maxDist = 3, nBlocks = 7)),
+      "q122_cands_alt" -> ((s, d) => graft.operators.Dedup
+        .simhashPairsPermuted(graft.core.Tables.documents(s, d),
+          maxDist = 3)),
+      "q35_cands_alt" -> ((s, d) => graft.operators.Dedup
+        .minhashLsh(graft.core.Tables.documents(s, d), k = 16, bands = 4,
+          minEstimate = 0.5)),
       "q21_groups_alt" -> ((s, d) => {
         import org.apache.spark.sql.functions.col
         graft.operators.CoOccur.pairsViaGroups(

@@ -68,6 +68,14 @@ object TimeQuery {
         graft.queries.TextQueries.q44WithForm(s, d, "pin")),
       "q44_distinct" -> ((s, d) =>
         graft.queries.TextQueries.q44WithForm(s, d, "distinct")),
+      // round-14 disk-shaped arm (VERDICT r13 #3): shingle frame staged
+      // once as zstd parquet, re-read per consumer
+      "q44_stage" -> ((s, d) =>
+        graft.queries.TextQueries.q44WithForm(s, d, "stage")),
+      "q34_stage" -> ((s, d) => graft.operators.Dedup.ngramJaccardForm(
+        graft.core.Tables.documents(s, d), 3, 0.5, "doc_id", "text",
+        graft.queries.TextQueries.MaxShingleDf, "stage")._1
+        .orderBy("id_a", "id_b")),
       // q115 fit decomposition (round 11): prefix stages of the
       // two-level Lloyd fit — see VectorQueries.fitProbe's scaladoc for
       // the delta arithmetic that isolates each term.
@@ -402,6 +410,81 @@ object TimeQuery {
         "l_partkey", "l_suppkey", minShared = 2L, maxItemsPerKey = 64L,
         viaExpr = true)
         .orderBy("item_a", "item_b")),
+      // round-14 simhash-family decomposition + strategy arms (VERDICT
+      // r13 #4 widened): q116_sims is the signature pipeline alone (the
+      // stage the keyed join's two sides each re-derive);
+      // pin = one localCheckpoint of the narrow (id, simhash) frame;
+      // prune = drop singleton (table, key) buckets before the salted
+      // self-join. All output-identical (DedupSpec scheme equivalence).
+      "q116_sims" -> ((s, d) => graft.operators.Dedup.simhashDocsPortable(
+        graft.core.Tables.documents(s, d))),
+      "q116_cands" -> ((s, d) => graft.operators.Dedup.simhashPairsCombinatorial(
+        graft.core.Tables.documents(s, d), maxDist = 3)),
+      "q116_pin" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccard(docs,
+          graft.operators.Dedup.simhashPairsCombinatorial(docs, maxDist = 3,
+            pinSims = true), threshold = 0.5)
+      }),
+      "q116_prune" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccard(docs,
+          graft.operators.Dedup.simhashPairsCombinatorial(docs, maxDist = 3,
+            pruneSingletons = true), threshold = 0.5)
+      }),
+      "q116_pin_prune" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccard(docs,
+          graft.operators.Dedup.simhashPairsCombinatorial(docs, maxDist = 3,
+            pinSims = true, pruneSingletons = true), threshold = 0.5)
+      }),
+      "q122_pin_prune" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccard(docs,
+          graft.operators.Dedup.simhashPairsPermuted(docs, maxDist = 3,
+            pinSims = true, pruneSingletons = true), threshold = 0.5)
+      }),
+      "q123_pin_prune" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccard(docs,
+          graft.operators.Dedup.simhashPairsCombinatorial(docs, maxDist = 3,
+            nBlocks = 7, pinSims = true, pruneSingletons = true),
+          threshold = 0.5)
+      }),
+      // round-14 q35 minhash dials: same pin/prune pattern as the simhash
+      // family (the band join re-derives the 16-hash signature pipeline
+      // per side and carries both 128-byte signatures per candidate row)
+      "q35_pin_prune" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccard(docs,
+          graft.operators.Dedup.minhashLsh(docs, k = 16, bands = 4,
+            minEstimate = 0.5, pinSigs = true, pruneSingletons = true),
+          threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      }),
+      // round-14 q100 exact-dedup shape A/B (VERDICT r13 #5): window
+      // (full-text shuffle by fp, the pre-r14 shape) vs narrow min-agg +
+      // left-semi (one text shuffle, shared with the component join)
+      "q100_window" -> ((s, d) =>
+        graft.queries.TextQueries.q100WithExact(s, d, minAgg = false)),
+      "q100_minagg" -> ((s, d) =>
+        graft.queries.TextQueries.q100WithExact(s, d, minAgg = true)),
+      // round-14 q97 stage ladder (VERDICT r13 #6): keys = shingle df +
+      // per-doc rank windows; cands = + positional self-join + distinct;
+      // declared q97 = + exact-Jaccard verify. Deltas isolate the legs.
+      // q97_pin runs the declared plan with the prefix frame
+      // localCheckpointed (each self-join side otherwise re-derives it).
+      "q97_keys" -> ((s, d) => graft.operators.Dedup.prefixKeys(
+        graft.core.Tables.documents(s, d), threshold = 0.5)),
+      "q97_cands" -> ((s, d) => graft.operators.Dedup.prefixCandidates(
+        graft.core.Tables.documents(s, d), threshold = 0.5, guard = false)),
+      "q97_pin" -> ((s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        graft.operators.Dedup.verifiedJaccard(docs,
+          graft.operators.Dedup.prefixCandidates(docs, threshold = 0.5,
+            guard = false, pinPrefix = true), threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      }),
       "q68_t1_persist" -> ((s, d) => {
         import org.apache.spark.sql.functions.col
         val sp = graft.core.Tables.lineitem(s, d)

@@ -50,7 +50,7 @@ class DedupSpec extends SparkSpec {
     for (cap <- Seq(0L, 2L)) {
       val ref = Dedup.ngramJaccardForm(rep, 3, 0.2, "doc_id", "text", cap,
         "distinct")._1.orderBy("id_a", "id_b").collect().toSeq
-      for (form <- Seq("rescan", "pin")) {
+      for (form <- Seq("rescan", "pin", "stage")) {
         val (df, free) = Dedup.ngramJaccardForm(rep, 3, 0.2, "doc_id", "text",
           cap, form)
         val got = df.orderBy("id_a", "id_b").collect().toSeq
@@ -160,6 +160,43 @@ class DedupSpec extends SparkSpec {
         .select("id_a", "id_b", "hamming")
         .as[(Long, Long, Int)].collect().toSet
       assert(perm == chunk, s"maxDist=$maxDist nOuter=$nOuter nInner=$nInner")
+    }
+  }
+
+  test("pinSims/pruneSingletons dials are output-invariant (r14)") {
+    // pin = one localCheckpoint of the (id, simhash) frame instead of
+    // re-deriving the signature pipeline per join side; prune = drop
+    // singleton (table, key) buckets before the salted self-join (a
+    // 1-row bucket can't produce a pair). Both must be pure plan
+    // re-shapes: identical verified sets on every scheme.
+    val base = Dedup.simhashPairsCombinatorial(docs, maxDist = 3,
+      pinSims = false, pruneSingletons = false)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val basePerm = Dedup.simhashPairsPermuted(docs, maxDist = 3,
+      pinSims = false, pruneSingletons = false)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(basePerm == base) // schemes agree (pigeonhole), dials aside
+    for (pin <- Seq(true, false); prune <- Seq(true, false)
+        if pin || prune) {
+      val combo = Dedup.simhashPairsCombinatorial(docs, maxDist = 3,
+        pinSims = pin, pruneSingletons = prune)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      assert(combo == base, s"combo pin=$pin prune=$prune")
+      val perm = Dedup.simhashPairsPermuted(docs, maxDist = 3,
+        pinSims = pin, pruneSingletons = prune)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      assert(perm == base, s"permuted pin=$pin prune=$prune")
+    }
+    // same dials on the minhash band join (a singleton band bucket can't
+    // hold a candidate pair; pinning the signature frame is a pure reuse)
+    val lshBase = Dedup.minhashLsh(docs, pinSigs = false,
+      pruneSingletons = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (pin <- Seq(true, false); prune <- Seq(true, false) if pin || prune) {
+      val lsh = Dedup.minhashLsh(docs, pinSigs = pin,
+        pruneSingletons = prune)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(lsh == lshBase, s"minhash pin=$pin prune=$prune")
     }
   }
 
