@@ -111,6 +111,13 @@ object Dedup {
       val path = dir.toUri.toString
       docShingles(docs, idCol, textCol, n, maxDocFreq)
         .write.mode("overwrite").option("compression", "zstd").parquet(path)
+      // the write job's shuffle files (hot-df aggregate + anti-join) are
+      // only deleted after a driver GC lets the ContextCleaner see their
+      // ShuffleDependency unreachable — on the disk-bound decades this
+      // form exists for, reclaiming them BEFORE the candidate join's own
+      // shuffles peak is the point (advisory; no-op under
+      // -XX:+DisableExplicitGC, and off the hot path: once per staging)
+      System.gc()
       val free = () => {
         import scala.jdk.CollectionConverters._
         val walk = java.nio.file.Files.walk(dir)
@@ -195,16 +202,49 @@ object Dedup {
     * three-form equivalence on a corpus with in-doc repeats); a caller
     * feeding duplicate ids would silently inflate df and n_sh instead
     * of deduping. Every repo caller passes a primary-key doc_id. */
+  /** Candidate-join form of [[ngramJaccardForm]]:
+    *
+    *  - `"selfjoin"` (default) — the frame joined against itself on
+    *    shingle: TWO corpus-sized shuffles live concurrently (each side
+    *    shuffles the whole frame), one sort-merge pass.
+    *  - `"groups"` — groupBy(shingle) + per-group pair emission
+    *    ([[graft.functions.PairCombosExpr]], codegen): ONE corpus-sized
+    *    shuffle — the disk-shaped form for the decades where the
+    *    self-join's two live shuffles are the binding disk term (the r14
+    *    g300 guard kill burned 66→5 GB in exactly that phase). Requires
+    *    the hot-shingle cap (maxDocFreq > 0): the per-group collect_list
+    *    buffer is only safe bounded — the same precondition as
+    *    [[CoOccur.pairsViaGroups]], here guaranteed by the cap's
+    *    anti-join (no surviving shingle exceeds maxDocFreq docs).
+    *    Output-identical: sorted ids make pairCombos emit exactly the
+    *    id_a < id_b pairs, once per shared shingle, so the per-pair
+    *    count IS n_common (DedupSpec pins it). */
+  @volatile private[graft] var DefaultCandJoinForm = "selfjoin"
+
   private[graft] def ngramJaccardForm(docs: DataFrame, n: Int,
       threshold: Double, idCol: String, textCol: String, maxDocFreq: Long,
-      form: String): (DataFrame, () => Unit) = {
+      form: String,
+      joinForm: String = DefaultCandJoinForm): (DataFrame, () => Unit) = {
     val (sh, free) = shingleFrame(docs, idCol, textCol, n, maxDocFreq, form)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.select(col("shingle"), col("id").as("id_a"))
-      .join(sh.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_common"))
+    val common = joinForm match {
+      case "selfjoin" =>
+        sh.select(col("shingle"), col("id").as("id_a"))
+          .join(sh.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("n_common"))
+      case "groups" =>
+        require(maxDocFreq > 0, "groups candidate join needs the " +
+          "hot-shingle cap: the per-group buffer is only safe bounded")
+        sh.groupBy("shingle")
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .select(explode(graft.functions.PairCombosFn.pairCombos(col("ids"))).as("p"))
+          .select(col("p.item_a").as("id_a"), col("p.item_b").as("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("n_common"))
+      case other => sys.error(s"unknown candidate-join form: $other")
+    }
     val out = common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("sa")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("sb")), Seq("id_b"))

@@ -470,11 +470,12 @@ object TextQueries {
     * pair lineage eagerly into its own localCheckpoint, so nothing
     * re-executes the shingle frame afterwards. */
   private[graft] def q44WithForm(s: SparkSession, d: String,
-      form: String): DataFrame = {
+      form: String,
+      joinForm: String = Dedup.DefaultCandJoinForm): DataFrame = {
     val docs = Tables.documents(s, d)
     val (pairsAll, free) = Dedup.ngramJaccardForm(docs, n = 3,
       threshold = 0.5, idCol = "doc_id", textCol = "text",
-      maxDocFreq = MaxShingleDf, form = form)
+      maxDocFreq = MaxShingleDf, form = form, joinForm = joinForm)
     val comp = ConnectedComponents.resolve(pairsAll.select("id_a", "id_b"))
       .withColumnRenamed("id", "doc_id")
     free()

@@ -72,6 +72,12 @@ object TimeQuery {
       // once as zstd parquet, re-read per consumer
       "q44_stage" -> ((s, d) =>
         graft.queries.TextQueries.q44WithForm(s, d, "stage")),
+      // round-14 grouped candidate join (one corpus shuffle instead of
+      // the self-join's two): with rescan and with the staged store
+      "q44_groups" -> ((s, d) =>
+        graft.queries.TextQueries.q44WithForm(s, d, "rescan", "groups")),
+      "q44_stage_groups" -> ((s, d) =>
+        graft.queries.TextQueries.q44WithForm(s, d, "stage", "groups")),
       "q34_stage" -> ((s, d) => graft.operators.Dedup.ngramJaccardForm(
         graft.core.Tables.documents(s, d), 3, 0.5, "doc_id", "text",
         graft.queries.TextQueries.MaxShingleDf, "stage")._1

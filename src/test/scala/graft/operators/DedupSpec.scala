@@ -57,6 +57,16 @@ class DedupSpec extends SparkSpec {
         free()
         assert(got == ref, s"form=$form cap=$cap diverged from distinct")
       }
+      // grouped candidate join (r14): one shuffle + per-group pair
+      // emission must reproduce the self-join's pairs and n_common
+      // exactly (requires the cap, so only the capped arm runs it)
+      if (cap > 0) {
+        val (df, free) = Dedup.ngramJaccardForm(rep, 3, 0.2, "doc_id",
+          "text", cap, "rescan", joinForm = "groups")
+        val got = df.orderBy("id_a", "id_b").collect().toSeq
+        free()
+        assert(got == ref, s"joinForm=groups cap=$cap diverged")
+      }
     }
   }
 
